@@ -1,0 +1,48 @@
+"""Device mesh construction.
+
+The reference's only parallelism is DDP data-parallel over NCCL
+(train_ddp.py:145,189). Here the equivalent is a `jax.sharding.Mesh` with a
+`data` axis; gradient reduction is XLA's job once the batch is sharded. A
+second `model` axis is available for tensor-parallel sharding of the tower
+matmuls (attention heads / MLP columns), which the reference does not have.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    With no arguments, uses all devices on the data axis (pure DP) — the
+    TPU-native equivalent of the reference's DDP world.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        devices = devices[: n_data * n_model]
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n}")
+    return global_batch // n

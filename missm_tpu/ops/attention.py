@@ -1,0 +1,64 @@
+"""Multi-head attention.
+
+Numerics match HF `CLIPAttention` (the reference towers import it directly at
+image/modeling_image.py:11): q scaled by head_dim**-0.5, softmax in f32,
+additive bias masks. Formulated as batched einsums so XLA tiles the (B*H)
+batched matmuls onto the MXU; the `model` mesh axis can shard the head
+dimension of the projection weights for tensor parallelism.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .basic import linear
+
+
+def multi_head_attention(params, x, *, num_heads: int, bias=None,
+                         lora_scaling: float | None = None):
+    """Self-attention over x: [B, N, D] -> [B, N, D].
+
+    bias: optional additive attention bias broadcastable to [B, H, N, N]
+    (e.g. a causal mask of -inf above the diagonal, or a key-padding mask).
+    """
+    B, N, D = x.shape
+    H = num_heads
+    hd = D // H
+    scale = hd ** -0.5
+
+    q = linear(params["q"], x, lora_scaling=lora_scaling) * scale
+    k = linear(params["k"], x, lora_scaling=lora_scaling)
+    v = linear(params["v"], x, lora_scaling=lora_scaling)
+
+    q = q.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+    return linear(params["out"], out, lora_scaling=lora_scaling)
+
+
+def causal_bias(n: int, dtype=jnp.float32):
+    """Additive causal mask: 0 on/below diagonal, large-negative above.
+
+    Matches `_make_causal_mask` (reference image/modeling_image.py:441-455),
+    which fills with finfo.min.
+    """
+    neg = jnp.finfo(dtype).min
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(j <= i, 0.0, neg).astype(dtype)[None, None, :, :]
+
+
+def key_padding_bias(pad_mask, dtype=jnp.float32):
+    """[B, N] boolean (True = masked/missing) -> additive bias [B,1,1,N]."""
+    neg = jnp.finfo(dtype).min
+    return jnp.where(pad_mask[:, None, None, :], neg, 0.0).astype(dtype)
