@@ -1,0 +1,88 @@
+"""Multi-tower encoder — the LanguageBind wrapper equivalent.
+
+Replaces `LanguageBind` (reference languagebind/__init__.py:54-85): a dict of
+per-modality vision towers + projections + logit scales, and a language tower
+that is *shared with the last-constructed modality tower* (the reference's
+ordering-sensitive behavior at __init__.py:69-70, preserved explicitly).
+
+forward: {modality: batch} -> {modality: L2-normalized 768-d embeddings};
+non-language embeddings are scaled by exp(logit_scale)
+(__init__.py:75-85).
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import TowerConfig
+from ..ops.basic import l2_normalize, linear
+from .tower import init_tower_params, text_features, vision_features
+
+
+def init_encoder_params(key, tower_cfgs: Mapping[str, TowerConfig],
+                        dtype=jnp.float32):
+    """tower_cfgs: ordered {modality: TowerConfig} for the non-language
+    modalities ('image', 'video', 'audio', 'depth', 'thermal' subset).
+    The language branch shares the text tower of the LAST entry."""
+    mods = list(tower_cfgs)
+    keys = jax.random.split(key, len(mods))
+    towers = {m: init_tower_params(k, tower_cfgs[m], dtype)
+              for m, k in zip(mods, keys)}
+    return build_encoder_params(towers, mods)
+
+
+def build_encoder_params(towers: Dict[str, dict], order: Sequence[str]):
+    """Assemble encoder params from full dual-tower params.
+
+    The language encoder aliases the text tower of order[-1] — matching the
+    reference, where `self.modality_encoder['language']` is whatever model the
+    loop loaded last (languagebind/__init__.py:69-70).
+    """
+    enc = {}
+    for m in order:
+        enc[m] = {
+            "vision": towers[m]["vision"],
+            "proj": towers[m]["visual_projection"],
+            "logit_scale": towers[m]["logit_scale"],
+        }
+    last = order[-1]
+    enc["language"] = {
+        "text": towers[last]["text"],
+        "proj": towers[last]["text_projection"],
+    }
+    return enc
+
+
+def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
+           *, use_temp: bool = True, train: bool = False, rng=None,
+           remat: bool = False) -> Dict[str, jax.Array]:
+    """inputs: {'language': input_ids [B, L]} and/or
+    {modality: pixel_values [B, C, H, W] / [B, C, T, H, W]}.
+
+    Returns {modality: [B, projection_dim]} embeddings. Every present input
+    is encoded; missing-modality masking is a *post-encoder* operation in the
+    fusion heads (the reference's key invariant — SURVEY §3.4).
+    """
+    out = {}
+    any_cfg = next(iter(tower_cfgs.values()))
+    for name, value in inputs.items():
+        if name == "language":
+            _, pooled = text_features(params["language"]["text"],
+                                      any_cfg.text, value, remat=remat,
+                                      projection=params["language"]["proj"])
+            out[name] = l2_normalize(pooled)
+        else:
+            cfg = tower_cfgs[name]
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            pooled = vision_features(params[name]["vision"], cfg.vision,
+                                     value, train=train, rng=sub, remat=remat,
+                                     projection=params[name]["proj"])
+            pooled = l2_normalize(pooled)
+            if use_temp:
+                pooled = pooled * jnp.exp(params[name]["logit_scale"])
+            out[name] = pooled
+    return out
