@@ -112,8 +112,8 @@ def resize_position_embedding(pos_embed: np.ndarray, new_grid,
         return pos_embed
     d = grid_part.shape[-1]
     img = grid_part.reshape(old, old, d)
-    mh = resize_matrix(old, gh, "bicubic", True, -0.75)
-    mw = resize_matrix(old, gw, "bicubic", True, -0.75)
+    mh = resize_matrix(old, gh, "bicubic", True)
+    mw = resize_matrix(old, gw, "bicubic", True)
     img = np.einsum("oh,hwd->owd", mh, img)
     img = np.einsum("pw,owd->opd", mw, img)
     return np.concatenate([tok, img.reshape(gh * gw, d)], axis=0)

@@ -6,8 +6,8 @@ matrix; a 2-D resize is then two matmuls — the shape the MXU wants, fuseable
 with surrounding normalize/patchify ops.
 
 Semantics match `torch.nn.functional.interpolate(..., align_corners=False)`:
-- 'bicubic' uses the Keys cubic kernel with a=-0.75 (torch's constant);
-  PIL-style cubic is a=-0.5 (pass `a=-0.5`).
+- 'bicubic' antialias matches torch's PIL-compatible AA kernel (a=-0.5);
+  non-antialias bicubic uses torch's a=-0.75.
 - antialias=True stretches the kernel by the scale factor when downsampling
   and renormalizes over in-range taps (the torch/PIL antialias algorithm).
 - antialias=False clamps source indices at the border (torch's behavior).
@@ -39,8 +39,14 @@ def _linear_kernel(x):
 
 @functools.lru_cache(maxsize=256)
 def resize_matrix(in_size: int, out_size: int, method: str = "bicubic",
-                  antialias: bool = True, a: float = -0.75) -> np.ndarray:
-    """Dense (out_size, in_size) resampling matrix, float32."""
+                  antialias: bool = True, a: float | None = None) -> np.ndarray:
+    """Dense (out_size, in_size) resampling matrix, float32.
+
+    `a` (the Keys cubic constant) defaults to torch's convention: the
+    antialias path is PIL-compatible (a=-0.5); the non-antialias path uses
+    a=-0.75."""
+    if a is None:
+        a = -0.5 if antialias else -0.75
     if method == "bicubic":
         kernel, support = (lambda x: _cubic_kernel(x, a)), 2.0
     elif method == "bilinear":
@@ -54,17 +60,20 @@ def resize_matrix(in_size: int, out_size: int, method: str = "bicubic",
 
     out = np.zeros((out_size, in_size), np.float32)
     for i in range(out_size):
-        center = (i + 0.5) * scale - 0.5
-        if antialias and scale > 1.0:
-            lo = int(np.floor(center - support * kscale + 0.5))
-            hi = int(np.ceil(center + support * kscale - 0.5))
-            idx = np.arange(lo, hi + 1)
-            w = kernel((idx - center) / kscale)
-            keep = (idx >= 0) & (idx < in_size)
-            idx, w = idx[keep], w[keep]
+        if antialias:
+            # torch upsample-AA span: taps j in [center-S+0.5, center+S+0.5)
+            # with center = scale*(i+0.5); weights normalized over the
+            # in-range taps (aten _compute_weights_span). Also used for
+            # upsampling (kscale == 1), as torch does with antialias=True.
+            center = (i + 0.5) * scale
+            lo = max(int(center - support * kscale + 0.5), 0)
+            hi = min(int(center + support * kscale + 0.5), in_size)
+            idx = np.arange(lo, hi)
+            w = kernel((idx + 0.5 - center) / kscale)
             w = w / w.sum()
             np.add.at(out[i], idx, w)
         else:
+            center = (i + 0.5) * scale - 0.5
             # torch non-antialias: fixed tap count, border-clamped indices
             base = int(np.floor(center))
             taps = np.arange(base - int(support) + 1, base + int(support) + 1)
@@ -78,7 +87,7 @@ def resize_matrix(in_size: int, out_size: int, method: str = "bicubic",
 
 
 def resize2d(img, out_hw, method: str = "bicubic", antialias: bool = True,
-             a: float = -0.75):
+             a: float | None = None):
     """img: [..., H, W] -> [..., out_h, out_w]."""
     H, W = img.shape[-2], img.shape[-1]
     oh, ow = out_hw
