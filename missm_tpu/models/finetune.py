@@ -1,0 +1,61 @@
+"""The full benchmark model: multi-tower encoder + fusion head.
+
+Equivalent of the reference `finetune_model` (baseline.py:421-453):
+`forward(data, missing_index)` encodes every present modality input and
+dispatches to the configured fusion head. Pure/functional; the whole forward
+(5 ViT towers + fusion) is one jittable graph.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import TowerConfig
+from .encoder import encode, init_encoder_params
+from .fusion import FusionConfig, fusion_forward, init_fusion
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static config for encoder + fusion. `towers` maps each non-language
+    modality to its TowerConfig, ordered (the language tower aliases the last
+    entry's text tower). Hashable, so jit can close over it."""
+    towers: Tuple[Tuple[str, TowerConfig], ...]
+    fusion: FusionConfig
+    use_temp: bool = True
+    remat: bool = False
+
+    @property
+    def tower_dict(self):
+        return dict(self.towers)
+
+
+def init_model_params(key, cfg: ModelConfig):
+    k1, k2 = jax.random.split(key)
+    return {
+        "encoder": init_encoder_params(k1, cfg.tower_dict),
+        "fusion": init_fusion(k2, cfg.fusion),
+    }
+
+
+def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
+                  train: bool = False, rng=None):
+    """data: {'language': ids [B,L]} | {modality: pixels}; returns
+    (logits, aux) — aux carries the distillation extras."""
+    r_enc = r_fus = None
+    if rng is not None:
+        r_enc, r_fus = jax.random.split(rng)
+    embeds = encode(params["encoder"], cfg.tower_dict, data,
+                    use_temp=cfg.use_temp, train=train, rng=r_enc,
+                    remat=cfg.remat)
+    return fusion_forward(params["fusion"], cfg.fusion, embeds, missing_index,
+                          train=train, rng=r_fus)
+
+
+def embed_only(params, cfg: ModelConfig, data: Mapping):
+    """Encoder-only pass (the statistics pass of test.py:98-115)."""
+    return encode(params["encoder"], cfg.tower_dict, data,
+                  use_temp=cfg.use_temp)

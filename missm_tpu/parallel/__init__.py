@@ -1,0 +1,1 @@
+from .partitioning import partition_params, shard_batch, param_pspecs

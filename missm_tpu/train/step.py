@@ -1,0 +1,134 @@
+"""Jitted train / eval steps.
+
+The TPU-native equivalent of the reference's DDP loop body
+(train_ddp.py:220-259): one jitted function computes forward, loss (incl.
+the distillation variants), gradients, the Adam update, and — for MTD — the
+EMA teacher update. Data parallelism comes from sharding the batch over the
+mesh's `data` axis; with replicated params, XLA inserts the gradient
+all-reduce automatically (the NCCL-allreduce equivalent rides ICI).
+
+Teacher semantics (faithfully preserved from the reference): the teacher
+model *shares the encoder object* with the student
+(`finetune_model(args, dims, encoder_model)` twice with the same encoder,
+train_ddp.py:187,192), so only the fusion params are teacher-specific; the
+MTD EMA update (train_ddp.py:256-259) is therefore a no-op on encoder params
+and only moves the teacher's fusion params.
+
+Learning rate is a traced scalar argument (no recompdue to plateau decay).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.finetune import ModelConfig, model_forward
+from .losses import (cross_entropy, kl_distill_loss, masked_kl_distill,
+                     mse_loss)
+from .trainability import TRAIN, param_labels
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    teacher_fusion: Any  # None unless MTD_stu / KL_stu
+    step: jax.Array
+
+
+def make_optimizer(params, cfg: ModelConfig, *, b1=0.9, b2=0.999, eps=1e-8,
+                   weight_decay: float = 0.0):
+    """torch.optim.Adam equivalence: L2 weight decay added to the gradient
+    before the moment updates (train_ddp.py:205). Frozen (peft-base) params
+    get zero updates via multi_transform."""
+    chain = []
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    labels = param_labels(params, cfg)
+    return optax.multi_transform(
+        {TRAIN: optax.chain(*chain), "frozen": optax.set_to_zero()}, labels)
+
+
+def init_train_state(params, cfg: ModelConfig, *, weight_decay: float = 0.0,
+                     teacher_fusion=None) -> tuple[TrainState, Any]:
+    tx = make_optimizer(params, cfg, weight_decay=weight_decay)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       teacher_fusion=teacher_fusion,
+                       step=jnp.zeros((), jnp.int32))
+    return state, tx
+
+
+def compute_loss(params, teacher_fusion, cfg: ModelConfig, data, labels,
+                 missing_index, rng):
+    """Returns (loss, logits). Encodes the fusion-type-specific losses of
+    train_ddp.py:232-250."""
+    ft = cfg.fusion.fusion_type
+    logits, aux = model_forward(params, cfg, data, missing_index, train=True,
+                                rng=rng)
+    ce = cross_entropy(logits, labels)
+
+    if ft in ("MTD_stu", "KL_stu"):
+        tea_params = {"encoder": params["encoder"], "fusion": teacher_fusion}
+        _, tea_aux = model_forward(
+            jax.lax.stop_gradient(tea_params), cfg, data,
+            jnp.zeros_like(missing_index), train=False)
+        rep_s, rep_t = aux["features"], tea_aux["features"]
+        dl = mse_loss(rep_s, rep_t) if ft == "MTD_stu" else kl_distill_loss(
+            rep_s, rep_t)
+        return dl + ce, logits
+
+    if ft == "self_distill":
+        present = aux["present_masks"]                    # [B, M]
+        stu = aux["stu_features"]                         # [B, M, D]
+        tea = aux["tea_features"]                         # [B, D]
+        M = present.shape[1]
+        dl = 0.0
+        for i in range(M):
+            dl = dl + masked_kl_distill(stu[:, i], tea, present[:, i])
+        return 0.01 * dl / M + ce, logits
+
+    return ce, logits
+
+
+def make_train_step(cfg: ModelConfig, tx):
+    """Returns jitted step(state, batch, lr, rng) -> (state, metrics)."""
+
+    ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
+
+    def step_fn(state: TrainState, data, labels, missing_index, lr, rng):
+        (loss, logits), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params, state.teacher_fusion,
+                                        cfg, data, labels, missing_index, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+
+        teacher = state.teacher_fusion
+        if ema_decay is not None:
+            teacher = jax.tree_util.tree_map(
+                lambda t, s: t * ema_decay + s * (1.0 - ema_decay),
+                teacher, new_params["fusion"])
+
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               teacher_fusion=teacher, step=state.step + 1)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: ModelConfig):
+    """Returns jitted eval(params, data, labels, missing_index) ->
+    dict(loss, preds, probs) — the body of `evaluate`
+    (train_ddp.py:98-125) / the test sweep inner loop (test.py:131-154)."""
+
+    def eval_fn(params, data, labels, missing_index):
+        logits, _ = model_forward(params, cfg, data, missing_index,
+                                  train=False)
+        loss = cross_entropy(logits, labels)
+        probs = jax.nn.softmax(logits, axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        return {"loss": loss, "preds": preds, "probs": probs}
+
+    return jax.jit(eval_fn)

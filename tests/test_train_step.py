@@ -1,0 +1,180 @@
+"""End-to-end train/eval step tests on the 8-device virtual CPU mesh:
+DP sharding, DP+TP sharding, distillation variants, trainability masks,
+loss parity vs torch."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from missm_tpu.core.config import MODALITY_CODES, tiny_tower
+from missm_tpu.core.mesh import make_mesh
+from missm_tpu.models.finetune import (
+    ModelConfig, init_model_params, model_forward,
+)
+from missm_tpu.models.fusion import FusionConfig
+from missm_tpu.parallel import partition_params, shard_batch
+from missm_tpu.train.step import (
+    init_train_state, make_eval_step, make_train_step,
+)
+from missm_tpu.train.trainability import TRAIN, param_labels
+
+B = 8
+L = 16
+NUM_CLASSES = 3
+
+
+def tiny_model_cfg(fusion_type="sum"):
+    towers = (("image", tiny_tower("image")), ("audio", tiny_tower("audio")))
+    fusion = FusionConfig(fusion_type=fusion_type,
+                          modality_types=("language", "audio", "image"),
+                          output_dims=NUM_CLASSES, feature_dims=24,
+                          fusion_dim=8)
+    return ModelConfig(towers=towers, fusion=fusion)
+
+
+def tiny_batch(rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    data = {
+        "language": jnp.asarray(rng.integers(1, 98, size=(B, L)),
+                                dtype=jnp.int32),
+        "image": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 32)).astype(np.float32)),
+        "audio": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 48)).astype(np.float32)),
+    }
+    labels = jnp.asarray(rng.integers(0, NUM_CLASSES, B), dtype=jnp.int32)
+    missing = jnp.asarray(
+        rng.choice([0, MODALITY_CODES["language"], MODALITY_CODES["audio"],
+                    MODALITY_CODES["image"]], B), dtype=jnp.int32)
+    return data, labels, missing
+
+
+def test_train_step_dp():
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()  # 8 x 1
+    params = partition_params(params, mesh)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    data = shard_batch(data, mesh)
+
+    losses = []
+    for i in range(3):
+        state, m = step(state, data, labels, missing, 1e-2,
+                        jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # tiny model overfits one batch quickly
+
+
+def test_train_step_dp_tp():
+    cfg = tiny_model_cfg("concat")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = partition_params(params, mesh, tp=True)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    data = shard_batch(data, mesh)
+    state, m = step(state, data, labels, missing, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_frozen_base_lora_trains():
+    """peft semantics: vision block base weights frozen, LoRA + fusion +
+    text + embeddings train."""
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = step(state, data, labels, missing, 1e-2, jax.random.PRNGKey(0))
+    after = state.params
+
+    blk_b = before["encoder"]["image"]["vision"]["blocks"]
+    blk_a = after["encoder"]["image"]["vision"]["blocks"]
+    np.testing.assert_array_equal(blk_b["attn"]["q"]["w"],
+                                  np.asarray(blk_a["attn"]["q"]["w"]))
+    # with lora_b == 0 at init, grad wrt lora_a is 0 on step 1 (as in peft);
+    # lora_b must move immediately.
+    assert not np.array_equal(blk_b["attn"]["q"]["lora_b"],
+                              np.asarray(blk_a["attn"]["q"]["lora_b"]))
+    assert not np.array_equal(before["fusion"]["proj"]["image"]["w"],
+                              np.asarray(after["fusion"]["proj"]["image"]["w"]))
+
+
+def test_mtd_teacher_ema_moves_fusion_only():
+    cfg = tiny_model_cfg("MTD_stu")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    teacher = jax.tree_util.tree_map(lambda x: x + 0.0, params["fusion"])
+    state, tx = init_train_state(params, cfg, teacher_fusion=teacher)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    t_before = jax.tree_util.tree_map(np.asarray, state.teacher_fusion)
+    state, m = step(state, data, labels, missing, 1e-2, jax.random.PRNGKey(0))
+    t_after = state.teacher_fusion
+    # EMA: teacher moved slightly toward student
+    d = np.abs(t_before["head"]["fc1"]["w"]
+               - np.asarray(t_after["head"]["fc1"]["w"])).max()
+    assert 0 < d < 1e-3
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.parametrize("ftype", ["KL_stu", "self_distill", "Distill_tea"])
+def test_distill_variants_run(ftype):
+    cfg = tiny_model_cfg(ftype)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    # +0.0 forces distinct buffers (same-buffer donation is invalid)
+    teacher = (jax.tree_util.tree_map(lambda x: x + 0.0, params["fusion"])
+               if ftype == "KL_stu" else None)
+    state, tx = init_train_state(params, cfg, teacher_fusion=teacher)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    state, m = step(state, data, labels, missing, 1e-2, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_eval_step():
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg)
+    data, labels, missing = tiny_batch()
+    out = ev(params, data, labels, missing)
+    assert out["preds"].shape == (B,)
+    assert out["probs"].shape == (B, NUM_CLASSES)
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(1), 1.0,
+                               atol=1e-5)
+
+
+def test_loss_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from missm_tpu.train.losses import (cross_entropy, kl_distill_loss,
+                                        masked_kl_distill)
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((5, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 5)
+    ref = F.cross_entropy(torch.tensor(logits), torch.tensor(labels)).item()
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert got == pytest.approx(ref, abs=1e-6)
+
+    s = rng.standard_normal((5, 12)).astype(np.float32)
+    t = rng.standard_normal((5, 12)).astype(np.float32)
+    T = 0.15
+    ref_kl = F.kl_div(F.log_softmax(torch.tensor(s) / T, dim=1),
+                      F.softmax(torch.tensor(t) / T, dim=1),
+                      reduction="batchmean").item()
+    got_kl = float(kl_distill_loss(jnp.asarray(s), jnp.asarray(t), T))
+    assert got_kl == pytest.approx(ref_kl, rel=1e-5)
+
+    mask = np.array([True, False, True, True, False])
+    ref_m = F.kl_div(F.log_softmax(torch.tensor(s[mask]) / T, dim=1),
+                     F.softmax(torch.tensor(t[mask]) / T, dim=1),
+                     reduction="batchmean").item()
+    got_m = float(masked_kl_distill(jnp.asarray(s), jnp.asarray(t),
+                                    jnp.asarray(mask), T))
+    assert got_m == pytest.approx(ref_m, rel=1e-5)
