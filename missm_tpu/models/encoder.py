@@ -69,8 +69,13 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
     any_cfg = next(iter(tower_cfgs.values()))
     for name, value in inputs.items():
         if name == "language":
+            if isinstance(value, Mapping):
+                ids = value["input_ids"]
+                am = value.get("attention_mask")
+            else:
+                ids, am = value, None
             _, pooled = text_features(params["language"]["text"],
-                                      any_cfg.text, value, remat=remat,
+                                      any_cfg.text, ids, am, remat=remat,
                                       projection=params["language"]["proj"])
             out[name] = l2_normalize(pooled)
         else:

