@@ -164,3 +164,9 @@ def testing_loader(args, csv_path: str, tokenizer, media_loaders,
         test_loader[modal] = per_ratio
 
     return mk(train_data), test_loader, num_classes
+
+
+# keep pytest from collecting these API names (they mirror the reference's
+# function names, which start with "test"/"train")
+training_loader.__test__ = False  # type: ignore[attr-defined]
+testing_loader.__test__ = False  # type: ignore[attr-defined]

@@ -1,0 +1,53 @@
+"""Checkpointing with the reference's two-artifact contract:
+
+1. best full checkpoint — {epoch, model params, opt state, val_metrics,
+   args} saved whenever val accuracy improves (train_ddp.py:300-306);
+2. final model params — the best params re-saved standalone at the end
+   (train_ddp.py:320-323), what test.py loads (:92).
+
+Orbax handles the array trees (async-capable, TPU-friendly); small metadata
+rides alongside as JSON. Mid-run resume (which the reference lacks) comes
+for free: restore the best checkpoint and continue.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
+    """Save a pytree + metadata dict at `path` (a directory)."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.tree_util.tree_map(np.asarray, tree), force=True)
+    if metadata is not None:
+        with open(os.path.join(path, "missm_meta.json"), "w") as f:
+            json.dump(metadata, f, default=str)
+
+
+def restore_checkpoint(path: str, like: Any = None):
+    """Restore (tree, metadata). `like` provides the target structure."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(path)
+    if like is not None:
+        # conform restored leaves onto the template's structure/dtypes
+        tree = jax.tree_util.tree_map(
+            lambda t, x: jax.numpy.asarray(x, t.dtype), like, tree)
+    meta_path = os.path.join(path, "missm_meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta

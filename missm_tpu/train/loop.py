@@ -1,0 +1,109 @@
+"""The training loop driver — the host-side epoch loop of
+`train()` (reference train_ddp.py:138-329) re-built around jitted steps:
+
+- per-epoch: jitted train steps over the (sharded) train loader, then a
+  jitted eval pass on the valid loader;
+- ReduceLROnPlateau on val accuracy (factor .1, patience 3);
+- best-checkpoint save on val-accuracy improvement + early stop patience;
+- final reload of the best params and standalone final-model save;
+- TensorBoard scalars (Loss/train + {loss,accuracy,f1,auc}/val).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..eval.sweep import _pad_batch, evaluate_metrics
+from ..models.finetune import ModelConfig
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .plateau import plateau_init, plateau_update
+from .step import TrainState, init_train_state, make_eval_step, make_train_step
+
+
+def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
+               num_epochs: int, learning_rate: float,
+               weight_decay: float = 0.0, patience: int = 8,
+               teacher_fusion=None, seed: int = 42,
+               save_dir: Optional[str] = None,
+               final_path: Optional[str] = None,
+               device_put: Callable = lambda x: x,
+               writer=None, log: Callable = print,
+               args_metadata: Optional[dict] = None):
+    """Returns (best_params, history). `writer` is an optional TensorBoard
+    SummaryWriter-compatible object."""
+    state, tx = init_train_state(params, cfg, weight_decay=weight_decay,
+                                 teacher_fusion=teacher_fusion)
+    step_fn = make_train_step(cfg, tx)
+    eval_fn = make_eval_step(cfg)
+
+    plateau = plateau_init()
+    best_metric = 0.0
+    best_epoch = -1
+    bad_epochs = 0
+    history = []
+    rng = jax.random.PRNGKey(seed)
+    batch_size = train_loader.batch_size
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        train_loss = 0.0
+        n_batches = 0
+        for data, labels, missing in train_loader:
+            rng, sub = jax.random.split(rng)
+            data, labels, missing = _pad_batch((data, labels, missing),
+                                               batch_size)
+            lr = learning_rate * plateau.scale
+            state, m = step_fn(state, device_put(data), jnp.asarray(labels),
+                               jnp.asarray(missing), lr, sub)
+            train_loss += float(m["loss"])
+            n_batches += 1
+        avg_train_loss = train_loss / max(n_batches, 1)
+
+        val = evaluate_metrics(state.params, eval_fn, valid_loader,
+                               device_put=device_put)
+        history.append({"epoch": epoch, "train_loss": avg_train_loss,
+                        **{f"val_{k}": v for k, v in val.items()}})
+        if writer is not None:
+            writer.add_scalar("Loss/train", avg_train_loss, epoch)
+            for k, v in val.items():
+                writer.add_scalar(f"{k}/val", v, epoch)
+        log(f"Epoch {epoch + 1}/{num_epochs} "
+            f"train_loss={avg_train_loss:.4f} val_loss={val['loss']:.4f} "
+            f"val_acc={val['accuracy']:.4f} val_f1={val['f1']:.4f} "
+            f"val_auc={val['auc']:.4f} lr_scale={plateau.scale:g} "
+            f"({time.time() - t0:.1f}s)")
+
+        plateau = plateau_update(plateau, val["accuracy"])
+
+        if val["accuracy"] > best_metric:
+            best_metric = val["accuracy"]
+            best_epoch = epoch
+            bad_epochs = 0
+            if save_dir:
+                save_checkpoint(
+                    os.path.join(save_dir, "best_model"),
+                    {"params": state.params, "opt_state": state.opt_state},
+                    metadata={"epoch": epoch, "val_metrics": val,
+                              "args": args_metadata or {}})
+        else:
+            bad_epochs += 1
+            log(f"No improvement for {bad_epochs} epochs.")
+        if bad_epochs >= patience:
+            log(f"Early stopping after {epoch + 1} epochs.")
+            break
+
+    log(f"Loading best model from epoch {best_epoch}")
+    best_params = state.params
+    if save_dir and best_epoch >= 0:
+        tree, _ = restore_checkpoint(os.path.join(save_dir, "best_model"))
+        best_params = tree["params"]
+    if final_path:
+        save_checkpoint(final_path, {"params": best_params},
+                        metadata={"best_epoch": best_epoch,
+                                  "val_accuracy": best_metric})
+    return best_params, history
