@@ -1,0 +1,118 @@
+"""Production media loaders: decode (C++ ingest when built, Python
+fallbacks otherwise) + device-resident transforms.
+
+Each loader is `fn(path) -> np.ndarray` of the model's input shape for one
+sample — the pluggable `media_loaders` contract of `data.loaders`. Decoding
+runs host-side; the resize/normalize/mel math is the jitted device kernels
+of `ops.image_transforms` / `ops.melfbank` (one compile per input shape,
+cached).
+
+The reference's equivalents are languagebind/*/processing_*.py; dropout-free
+determinism controls:
+- `eval_flip`: the reference applies RandomHorizontalFlipVideo(p=0.5) at
+  eval too (video/processing_video.py:37,51,63); default here pins eval
+  deterministic (no flip) — set reference_randomness=True for parity runs.
+- audio chunk choice (processing_audio.py:70-72) uses the provided rng.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..core.config import TowerConfig
+from ..ops.image_transforms import (
+    depth_transform, image_transform, uniform_frame_indices, video_transform,
+)
+from ..ops.melfbank import (
+    FbankConfig, chunk_ranges, kaldi_fbank, waveform_to_model_input,
+)
+from . import ingest_io
+
+
+def make_image_loader(size: int = 224) -> Callable:
+    def load(path):
+        img = ingest_io.decode_image(path)           # [H, W, 3] uint8
+        return np.asarray(image_transform(img, size))
+    return load
+
+
+def make_thermal_loader(size: int = 224) -> Callable:
+    # thermal processing == image processing (thermal/processing_thermal.py)
+    return make_image_loader(size)
+
+
+def make_depth_loader(size: int = 224, max_depth: float = 10.0) -> Callable:
+    def load(path):
+        raw = ingest_io.decode_depth(path)           # [H, W] uint16/float
+        return np.asarray(depth_transform(raw.astype(np.float32), size,
+                                          max_depth))
+    return load
+
+
+def make_video_loader(num_frames: int = 8, size: int = 224,
+                      reference_randomness: bool = False,
+                      rng: Optional[np.random.Generator] = None) -> Callable:
+    rng = rng or np.random.default_rng(0)
+
+    def load(path):
+        frames = ingest_io.decode_video(path, num_frames)  # [T, H, W, 3] u8
+        flip = bool(rng.integers(0, 2)) if reference_randomness else False
+        return np.asarray(video_transform(frames, size, flip=flip))
+    return load
+
+
+def make_audio_loader(cfg: TowerConfig,
+                      reference_randomness: bool = False,
+                      rng: Optional[np.random.Generator] = None) -> Callable:
+    """wav -> resample 16 kHz -> kaldi fbank -> chunk/tile -> [3, bins, T]
+    (reference audio/processing_audio.py:31-111)."""
+    rng = rng or np.random.default_rng(0)
+    fb = FbankConfig(sample_rate=cfg.audio_sample_rate,
+                     num_mel_bins=cfg.num_mel_bins)
+    target = cfg.target_length
+
+    def load(path):
+        wav, sr = ingest_io.read_audio(path)
+        if sr != cfg.audio_sample_rate:
+            from ..ops.resample import resample_sinc
+            wav = resample_sinc(wav, sr, cfg.audio_sample_rate)
+        wav = wav - wav.mean()
+        import jax.numpy as jnp
+        mel = kaldi_fbank(jnp.asarray(wav, jnp.float32), fb)
+        T = mel.shape[0]
+        if T > target:
+            r0, r1, r2 = chunk_ranges(T, target)
+            if reference_randomness:
+                idx = (int(rng.choice(r0)), int(rng.choice(r1)),
+                       int(rng.choice(r2)))
+            else:
+                idx = (int(r0[0]), int(r1[0]), int(r2[0]))
+        else:
+            idx = (0, 0, 0)
+        out = waveform_to_model_input(mel, target, idx, cfg.audio_mean,
+                                      cfg.audio_std)
+        return np.asarray(out)
+    return load
+
+
+def make_media_loaders(tower_cfgs: Dict[str, TowerConfig],
+                       reference_randomness: bool = False,
+                       seed: int = 0) -> Dict[str, Callable]:
+    rng = np.random.default_rng(seed)
+    out: Dict[str, Callable] = {}
+    for m, cfg in tower_cfgs.items():
+        if m == "image":
+            out[m] = make_image_loader()
+        elif m == "thermal":
+            out[m] = make_thermal_loader()
+        elif m == "depth":
+            out[m] = make_depth_loader(max_depth=cfg.max_depth)
+        elif m == "video":
+            out[m] = make_video_loader(cfg.vision.num_frames,
+                                       reference_randomness=
+                                       reference_randomness, rng=rng)
+        elif m == "audio":
+            out[m] = make_audio_loader(cfg, reference_randomness=
+                                       reference_randomness, rng=rng)
+    return out

@@ -1,0 +1,151 @@
+"""ctypes binding to the C++ ingest library (cpp/ -> libmissm_ingest.so).
+
+The native library owns the decode hot path the reference delegated to
+decord/OpenCV/PIL/torchaudio (SURVEY §2.3): JPEG/PNG via libjpeg/libpng,
+WAV/PCM parsing, and FFmpeg (libavformat/avcodec/swscale) video decode with
+linspace frame sampling. All functions return None on failure so callers
+fall back to the Python decoders.
+
+C ABI (see cpp/ingest.cc):
+  int mi_decode_image(path, uint8** data, int* h, int* w)        // RGB8
+  int mi_decode_depth(path, uint16** data, int* h, int* w)       // raw u16
+  int mi_read_audio(path, float** data, long* n, int* sr)        // ch0
+  int mi_decode_video(path, int num_frames, uint8** data,
+                      int* t, int* h, int* w)                    // RGB8
+  void mi_free(void*)
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    candidates = [
+        os.path.join(here, "cpp", "libmissm_ingest.so"),
+        os.path.join(here, "libmissm_ingest.so"),
+        os.environ.get("MISSM_INGEST_LIB", ""),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mi_decode_image.restype = ctypes.c_int
+        lib.mi_decode_image.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.mi_decode_depth.restype = ctypes.c_int
+        lib.mi_decode_depth.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint16)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.mi_read_audio.restype = ctypes.c_int
+        lib.mi_read_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
+        lib.mi_decode_video.restype = ctypes.c_int
+        lib.mi_decode_video.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.mi_free.restype = None
+        lib.mi_free.argtypes = [ctypes.c_void_p]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_image(path: str) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.mi_decode_image(path.encode(), ctypes.byref(data),
+                           ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(data, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr
+
+
+def decode_depth(path: str) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_uint16)()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.mi_decode_depth(path.encode(), ctypes.byref(data),
+                           ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(data, shape=(h.value, w.value)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr
+
+
+def read_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    lib = _load()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    sr = ctypes.c_int()
+    if lib.mi_read_audio(path.encode(), ctypes.byref(data), ctypes.byref(n),
+                         ctypes.byref(sr)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(data, shape=(n.value,)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr, sr.value
+
+
+def decode_video(path: str, num_frames: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    t = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.mi_decode_video(path.encode(), num_frames, ctypes.byref(data),
+                           ctypes.byref(t), ctypes.byref(h),
+                           ctypes.byref(w)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            data, shape=(t.value, h.value, w.value, 3)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr
