@@ -1,0 +1,125 @@
+"""Shared CLI plumbing: model construction from args, tokenizer/media-loader
+wiring, checkpoint-based initialization, mesh setup."""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+
+from ..core.config import TowerConfig, languagebind_large, tiny_tower
+from ..core.mesh import make_mesh
+from ..data.preprocess import make_media_loaders
+from ..data.tokenizer import load_tokenizer
+from ..models.encoder import build_encoder_params
+from ..models.finetune import ModelConfig, init_model_params
+from ..models.fusion import FusionConfig
+from ..parallel import partition_params, shard_batch
+
+# fusion types that force train-time missing simulation
+# (reference train_ddp.py:163-164)
+FORCE_TRAIN_MISSING = ("regression", "unified_graph", "dedicated_dnn",
+                       "MTD_stu", "KL_stu", "self_distill")
+
+
+def clip_modalities(modality_types):
+    return [m for m in modality_types if m != "language"]
+
+
+def build_tower_cfgs(args) -> Dict[str, TowerConfig]:
+    mods = clip_modalities(args.modality_types)
+    if not mods:
+        raise ValueError("need at least one non-language modality (the "
+                         "language tower aliases the last vision tower's "
+                         "text encoder, as in the reference)")
+    if args.model_scale == "large":
+        return {m: languagebind_large(m) for m in mods}
+    return {m: tiny_tower(m) for m in mods}
+
+
+def build_model_config(args, num_classes: int) -> ModelConfig:
+    towers = build_tower_cfgs(args)
+    feature_dims = args.feature_dims
+    if args.model_scale == "tiny":
+        feature_dims = next(iter(towers.values())).projection_dim
+    fusion = FusionConfig(
+        fusion_type=args.fusion_type,
+        modality_types=tuple(args.modality_types),
+        output_dims=num_classes,
+        feature_dims=feature_dims,
+        fusion_dim=args.fusion_dim,
+        dropout_prob=args.dropout_prob,
+    )
+    return ModelConfig(towers=tuple(towers.items()), fusion=fusion,
+                       remat=getattr(args, "remat", False))
+
+
+def _load_torch_state_dict(ckpt_dir: str):
+    for name in ("pytorch_model.bin", "model.safetensors"):
+        p = os.path.join(ckpt_dir, name)
+        if os.path.exists(p):
+            if name.endswith(".bin"):
+                import torch
+                return torch.load(p, map_location="cpu", weights_only=True)
+            from safetensors.numpy import load_file
+            return load_file(p)
+    raise FileNotFoundError(
+        f"no checkpoint (pytorch_model.bin / model.safetensors) in "
+        f"{ckpt_dir}")
+
+
+def init_params(args, cfg: ModelConfig, key):
+    """'random': fresh init. 'checkpoint': convert LanguageBind HF
+    checkpoints found under `checkpoint_dir/LanguageBind_<Modality>`
+    (the reference's `LanguageBind/<name>` hub layout, cached locally)."""
+    if args.init == "random":
+        return init_model_params(key, cfg)
+
+    from ..compat.convert import convert_tower_state_dict
+    from ..models.fusion import init_fusion
+
+    towers = {}
+    names = {"image": "LanguageBind_Image", "video": "LanguageBind_Video",
+             "audio": "LanguageBind_Audio", "depth": "LanguageBind_Depth",
+             "thermal": "LanguageBind_Thermal"}
+    tower_cfgs = cfg.tower_dict
+    for m, tcfg in tower_cfgs.items():
+        ckpt_dir = os.path.join(args.checkpoint_dir, names[m])
+        sd = _load_torch_state_dict(ckpt_dir)
+        towers[m] = convert_tower_state_dict(sd, tcfg)
+    encoder = build_encoder_params(towers, list(tower_cfgs))
+    k1, _ = jax.random.split(key)
+    return {"encoder": encoder, "fusion": init_fusion(k1, cfg.fusion)}
+
+
+def make_tokenizer(args):
+    any_tower = next(iter(build_tower_cfgs(args).values()))
+    context = any_tower.text.max_position_embeddings
+    text_vocab = any_tower.text.vocab_size
+    tok = load_tokenizer(args.vocab_file, args.merges_file,
+                         context_length=context)
+    from ..data.tokenizer import HashTokenizer
+    if isinstance(tok, HashTokenizer):
+        tok.vocab_size = text_vocab
+        tok.bos_id = text_vocab - 2
+        tok.eos_id = text_vocab - 1
+    return tok
+
+
+def make_loader_fns(args):
+    towers = build_tower_cfgs(args)
+    return make_media_loaders(
+        towers, reference_randomness=getattr(args, "reference_randomness",
+                                             False),
+        seed=args.seed)
+
+
+def setup_mesh(args):
+    n_model = getattr(args, "mesh_model", 1)
+    mesh = make_mesh(n_model=n_model)
+    return mesh
+
+
+def make_device_put(mesh):
+    return lambda tree: shard_batch(tree, mesh)

@@ -1,0 +1,114 @@
+"""Argparse surfaces mirroring the reference CLIs flag-for-flag.
+
+`train_args()` mirrors train_ddp.py:19-47, `test_args()` mirrors
+test.py:15-40 (same names, same defaults — reference configs run
+unchanged), plus a small set of TPU-native extras that default to the
+reference behavior:
+  --mesh_model       tensor-parallel axis size (1 = pure DP, the reference's
+                     only mode)
+  --model_scale      'large' (LanguageBind ViT-L) | 'tiny' (tests/smoke)
+  --init             'checkpoint' | 'random' (no-network smoke runs)
+  --vocab_file/--merges_file   CLIP BPE files (else hash tokenizer)
+  --reference_randomness       keep the reference's eval-time random flip /
+                               audio-chunk draws instead of deterministic eval
+  --remat            rematerialize tower blocks (memory for FLOPs)
+  --bf16             bfloat16 params/activations on the towers
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def _bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes")
+
+
+def _common_model_flags(p: argparse.ArgumentParser):
+    p.add_argument("--feature_dims", type=int, default=768,
+                   help="the output dims of languagebind")
+    p.add_argument("--fusion_dim", type=int, default=256)
+    p.add_argument("--dropout_prob", type=float, default=0.1)
+
+
+def _tpu_extras(p: argparse.ArgumentParser):
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--model_scale", type=str, default="large",
+                   choices=["large", "tiny"])
+    p.add_argument("--init", type=str, default="checkpoint",
+                   choices=["checkpoint", "random"])
+    p.add_argument("--checkpoint_dir", type=str, default="./cache_dir")
+    p.add_argument("--vocab_file", type=str, default=None)
+    p.add_argument("--merges_file", type=str, default=None)
+    p.add_argument("--reference_randomness", type=_bool, default=False)
+    p.add_argument("--remat", type=_bool, default=False)
+    p.add_argument("--bf16", type=_bool, default=True)
+
+
+def train_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+    # dataset (train_ddp.py:22-25)
+    parser.add_argument("--train_mode", type=str, default="classification",
+                        help="regression or classification")
+    parser.add_argument("--datasetName", type=str, default="mvsa",
+                        help="support mosi/sims/eNTERFACE/AVE/mvsa")
+    parser.add_argument("--csv_path", type=str,
+                        default="./datasets/mvsa_multiple/label.csv")
+    parser.add_argument("--modality_types", type=str, nargs="+",
+                        default=["language", "image"],
+                        help="subset of language/video/audio/image, ordered")
+    # missing (train_ddp.py:28)
+    parser.add_argument("--train_missing", type=_bool, default=False)
+    # model (train_ddp.py:31-34)
+    _common_model_flags(parser)
+    parser.add_argument(
+        "--fusion_type", type=str, default="sum",
+        help="sum/concat/regression/retrieval/intra_attention/"
+             "inter_attention/graph_fusion/unified_graph/dedicated_dnn/"
+             "[Distill_tea/MTD_stu/KL_stu]/self_distill")
+    # training (train_ddp.py:37-46)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--num_epochs", type=int, default=50)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--weight_decay", type=float, default=0)
+    parser.add_argument("--patience", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save_path", type=str, default="checkpoints")
+    parser.add_argument("--log_dir", type=str, default="logs")
+    _tpu_extras(parser)
+    return parser.parse_args(argv)
+
+
+def test_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+    # dataset (test.py:18-21)
+    parser.add_argument("--train_mode", type=str, default="classification")
+    parser.add_argument("--datasetName", type=str, default="eNTERFACE",
+                        help="support mosi/sims/eNTERFACE")
+    parser.add_argument("--csv_path", type=str,
+                        default="./datasets/eNTERFACE/label.csv")
+    parser.add_argument("--modality_types", type=str, nargs="+",
+                        default=["video", "audio"])
+    # missing (test.py:24)
+    parser.add_argument("--test_missing_type", type=str, nargs="+",
+                        default=["video", "audio", "mixed"],
+                        help="language/video/audio/mixed")
+    # model (test.py:27-32)
+    parser.add_argument("--model_ckpt_dir", type=str, default="./final_model",
+                        help="the ckpt of models")
+    _common_model_flags(parser)
+    parser.add_argument("--fusion_type", type=str, default="self_distill")
+    parser.add_argument("--test_types", type=str, nargs="+",
+                        default=["self_distill"],
+                        help="fusion type or concat_zero/concat_median/"
+                             "concat_mean")
+    # other (test.py:35-38)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--missing_index_path", type=str, default=None)
+    _tpu_extras(parser)
+    return parser.parse_args(argv)

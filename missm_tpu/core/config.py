@@ -144,5 +144,8 @@ def tiny_tower(modality: str = "image", **overrides) -> TowerConfig:
     if modality == "audio":
         vkw.update(image_size=(32, 48))
     vkw.update(overrides)
+    extras = {}
+    if modality == "audio":
+        extras = dict(num_mel_bins=32, target_length=48)
     return TowerConfig(text=text, vision=VisionConfig(**vkw),
-                       projection_dim=24)
+                       projection_dim=24, **extras)

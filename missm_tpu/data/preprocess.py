@@ -102,14 +102,15 @@ def make_media_loaders(tower_cfgs: Dict[str, TowerConfig],
     rng = np.random.default_rng(seed)
     out: Dict[str, Callable] = {}
     for m, cfg in tower_cfgs.items():
+        size = cfg.vision.image_size[0]  # square for all but audio
         if m == "image":
-            out[m] = make_image_loader()
+            out[m] = make_image_loader(size)
         elif m == "thermal":
-            out[m] = make_thermal_loader()
+            out[m] = make_thermal_loader(size)
         elif m == "depth":
-            out[m] = make_depth_loader(max_depth=cfg.max_depth)
+            out[m] = make_depth_loader(size, max_depth=cfg.max_depth)
         elif m == "video":
-            out[m] = make_video_loader(cfg.vision.num_frames,
+            out[m] = make_video_loader(cfg.vision.num_frames, size,
                                        reference_randomness=
                                        reference_randomness, rng=rng)
         elif m == "audio":

@@ -9,9 +9,12 @@ import pandas as pd
 from missm_tpu.data.missing import generate_missing_index, save_missing_index
 
 
-def make_mvsa_tree(root, n_train=12, n_valid=6, n_test=10, seed=0):
-    """Creates root/label.csv + root/missing_index.pkl. Media files are not
-    written — synthetic loaders fabricate arrays from the path string."""
+def make_mvsa_tree(root, n_train=12, n_valid=6, n_test=10, seed=0,
+                   write_media=False):
+    """Creates root/label.csv + root/missing_index.pkl. With
+    write_media=True, real JPEGs are written under root/data/<ID>.jpg so
+    the production decode path can run; otherwise synthetic loaders
+    fabricate arrays from the path string."""
     rng = np.random.default_rng(seed)
     n = n_train + n_valid + n_test
     modes = (["train"] * n_train + ["valid"] * n_valid + ["test"] * n_test)
@@ -24,6 +27,13 @@ def make_mvsa_tree(root, n_train=12, n_valid=6, n_test=10, seed=0):
     }
     os.makedirs(root, exist_ok=True)
     pd.DataFrame(rows).to_csv(os.path.join(root, "label.csv"), index=False)
+    if write_media:
+        from PIL import Image
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(root, "data", f"{i}.jpg"), "JPEG")
     idx = generate_missing_index(
         {"train": n_train, "valid": n_valid, "test": n_test},
         ["language", "image"])
