@@ -262,6 +262,103 @@ int mi_read_audio(const char* path, float** data, long* n, int* sr) {
 }
 
 // ---------------------------------------------------------------------------
+// Audio stream decode from any container (mp4/avi/...): mono float32 at the
+// stream's native rate — the in-process replacement for the reference's
+// `ffmpeg -i x.mp4 -ac 1 -ar 16000 x.wav` (convert_to_wav.py:10-12);
+// channel downmix is an average, resampling happens host-side in Python.
+// ---------------------------------------------------------------------------
+
+static float sample_to_float(const AVFrame* fr, int fmt, int ch, int i) {
+  switch (fmt) {
+    case AV_SAMPLE_FMT_FLT:
+      return reinterpret_cast<const float*>(fr->data[0])[i * fr->ch_layout.nb_channels + ch];
+    case AV_SAMPLE_FMT_FLTP:
+      return reinterpret_cast<const float*>(fr->data[ch])[i];
+    case AV_SAMPLE_FMT_S16:
+      return reinterpret_cast<const int16_t*>(fr->data[0])[i * fr->ch_layout.nb_channels + ch] / 32768.0f;
+    case AV_SAMPLE_FMT_S16P:
+      return reinterpret_cast<const int16_t*>(fr->data[ch])[i] / 32768.0f;
+    case AV_SAMPLE_FMT_S32:
+      return reinterpret_cast<const int32_t*>(fr->data[0])[i * fr->ch_layout.nb_channels + ch] / 2147483648.0f;
+    case AV_SAMPLE_FMT_S32P:
+      return reinterpret_cast<const int32_t*>(fr->data[ch])[i] / 2147483648.0f;
+    case AV_SAMPLE_FMT_DBL:
+      return (float)reinterpret_cast<const double*>(fr->data[0])[i * fr->ch_layout.nb_channels + ch];
+    case AV_SAMPLE_FMT_DBLP:
+      return (float)reinterpret_cast<const double*>(fr->data[ch])[i];
+    case AV_SAMPLE_FMT_U8:
+      return (reinterpret_cast<const uint8_t*>(fr->data[0])[i * fr->ch_layout.nb_channels + ch] - 128) / 128.0f;
+    case AV_SAMPLE_FMT_U8P:
+      return (reinterpret_cast<const uint8_t*>(fr->data[ch])[i] - 128) / 128.0f;
+    default:
+      return 0.f;
+  }
+}
+
+int mi_decode_media_audio(const char* path, float** data, long* n,
+                          int* sr_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int as = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
+  if (as < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream* stream = fmt->streams[as];
+  const AVCodec* codec = avcodec_find_decoder(stream->codecpar->codec_id);
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(ctx, stream->codecpar);
+  if (!codec || avcodec_open2(ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+
+  std::vector<float> samples;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+
+  auto consume = [&](AVFrame* fr) {
+    const int nch = fr->ch_layout.nb_channels;
+    const int fmt_s = fr->format;
+    for (int i = 0; i < fr->nb_samples; ++i) {
+      float acc = 0.f;
+      for (int c = 0; c < nch; ++c) acc += sample_to_float(fr, fmt_s, c, i);
+      samples.push_back(acc / (nch > 0 ? nch : 1));
+    }
+  };
+
+  while (av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == as) {
+      if (avcodec_send_packet(ctx, pkt) == 0) {
+        while (avcodec_receive_frame(ctx, frame) == 0) consume(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(ctx, nullptr);
+  while (avcodec_receive_frame(ctx, frame) == 0) consume(frame);
+
+  const int sr = ctx->sample_rate;
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  avcodec_free_context(&ctx);
+  avformat_close_input(&fmt);
+
+  if (samples.empty() || sr <= 0) return -1;
+  float* out = static_cast<float*>(malloc(samples.size() * sizeof(float)));
+  memcpy(out, samples.data(), samples.size() * sizeof(float));
+  *data = out;
+  *n = (long)samples.size();
+  *sr_out = sr;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Video via FFmpeg: linspace frame sampling, RGB24 output
 // ---------------------------------------------------------------------------
 

@@ -52,7 +52,10 @@ def build_model_config(args, num_classes: int) -> ModelConfig:
         dropout_prob=args.dropout_prob,
     )
     return ModelConfig(towers=tuple(towers.items()), fusion=fusion,
-                       remat=getattr(args, "remat", False))
+                       remat=getattr(args, "remat", False),
+                       compute_dtype=("bfloat16"
+                                      if getattr(args, "bf16", False)
+                                      else "float32"))
 
 
 def _load_torch_state_dict(ckpt_dir: str):
@@ -83,11 +86,17 @@ def init_params(args, cfg: ModelConfig, key):
     names = {"image": "LanguageBind_Image", "video": "LanguageBind_Video",
              "audio": "LanguageBind_Audio", "depth": "LanguageBind_Depth",
              "thermal": "LanguageBind_Thermal"}
+    from ..models.tower import inject_lora
+
     tower_cfgs = cfg.tower_dict
     for m, tcfg in tower_cfgs.items():
         ckpt_dir = os.path.join(args.checkpoint_dir, names[m])
         sd = _load_torch_state_dict(ckpt_dir)
-        towers[m] = convert_tower_state_dict(sd, tcfg)
+        tp = convert_tower_state_dict(sd, tcfg)
+        key, sub = jax.random.split(key)
+        # the reference applies LoRA after loading (modeling_image.py:772)
+        tp["vision"] = inject_lora(sub, tp["vision"], tcfg.vision)
+        towers[m] = tp
     encoder = build_encoder_params(towers, list(tower_cfgs))
     k1, _ = jax.random.split(key)
     return {"encoder": encoder, "fusion": init_fusion(k1, cfg.fusion)}

@@ -68,6 +68,10 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        lib.mi_decode_media_audio.restype = ctypes.c_int
+        lib.mi_decode_media_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
         lib.mi_free.restype = None
         lib.mi_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
@@ -123,6 +127,25 @@ def read_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
     sr = ctypes.c_int()
     if lib.mi_read_audio(path.encode(), ctypes.byref(data), ctypes.byref(n),
                          ctypes.byref(sr)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(data, shape=(n.value,)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr, sr.value
+
+
+def decode_media_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode the audio stream of any container to mono float32 at the
+    stream's native sample rate."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    sr = ctypes.c_int()
+    if lib.mi_decode_media_audio(path.encode(), ctypes.byref(data),
+                                 ctypes.byref(n), ctypes.byref(sr)) != 0:
         return None
     try:
         arr = np.ctypeslib.as_array(data, shape=(n.value,)).copy()

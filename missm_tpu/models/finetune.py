@@ -22,15 +22,26 @@ from .fusion import FusionConfig, fusion_forward, init_fusion
 class ModelConfig:
     """Static config for encoder + fusion. `towers` maps each non-language
     modality to its TowerConfig, ordered (the language tower aliases the last
-    entry's text tower). Hashable, so jit can close over it."""
+    entry's text tower). Hashable, so jit can close over it.
+
+    compute_dtype: 'bfloat16' runs the tower matmuls in bf16 (params stay
+    f32 for Adam; the cast happens inside the jitted graph, accumulation is
+    f32 via preferred_element_type). 'float32' for parity tests."""
     towers: Tuple[Tuple[str, TowerConfig], ...]
     fusion: FusionConfig
     use_temp: bool = True
     remat: bool = False
+    compute_dtype: str = "float32"
 
     @property
     def tower_dict(self):
         return dict(self.towers)
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
 
 
 def init_model_params(key, cfg: ModelConfig):
@@ -48,9 +59,17 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
     r_enc = r_fus = None
     if rng is not None:
         r_enc, r_fus = jax.random.split(rng)
-    embeds = encode(params["encoder"], cfg.tower_dict, data,
+    enc_params = params["encoder"]
+    if cfg.compute_dtype != "float32":
+        dt = jnp.dtype(cfg.compute_dtype)
+        enc_params = _cast_tree(enc_params, dt)
+        data = {k: (_cast_tree(v, dt) if k != "language" else v)
+                for k, v in data.items()}
+    embeds = encode(enc_params, cfg.tower_dict, data,
                     use_temp=cfg.use_temp, train=train, rng=r_enc,
                     remat=cfg.remat)
+    # fusion heads always run f32 (small; the reference trains them in f32)
+    embeds = {k: v.astype(jnp.float32) for k, v in embeds.items()}
     return fusion_forward(params["fusion"], cfg.fusion, embeds, missing_index,
                           train=train, rng=r_fus)
 

@@ -186,6 +186,48 @@ def init_tower_params(key, cfg: TowerConfig, dtype=jnp.float32):
     }
 
 
+def inject_lora(key, vision_params, cfg: VisionConfig, dtype=jnp.float32):
+    """Add fresh LoRA A/B params to converted (checkpoint) vision blocks —
+    the reference applies `convert_to_lora` AFTER loading pretrained weights
+    (image/modeling_image.py:772), so published checkpoints carry no LoRA.
+
+    Targets mirror peft's: temporal attn + temporal mlp when add_time_attn,
+    else the spatial self-attention projections (ref :775-783). Stacked
+    blocks get one [L, ...] A/B pair per target."""
+    if cfg.lora_r == 0:
+        return vision_params
+    blocks = dict(vision_params["blocks"])
+    L = blocks["ln1"]["scale"].shape[0]
+    d = cfg.hidden_size
+
+    def fresh(key, d_in, d_out):
+        ks = jax.random.split(key, L)
+        stacked = [_init_lora(k, d_in, d_out, cfg.lora_r, dtype) for k in ks]
+        return {
+            "lora_a": jnp.stack([s["lora_a"] for s in stacked], 0),
+            "lora_b": jnp.stack([s["lora_b"] for s in stacked], 0),
+        }
+
+    if cfg.add_time_attn:
+        targets = [("tattn", "q", d, d), ("tattn", "k", d, d),
+                   ("tattn", "v", d, d), ("tattn", "out", d, d)]
+        if "tmlp" in blocks:
+            targets += [("tmlp", "fc1", d, cfg.intermediate_size),
+                        ("tmlp", "fc2", cfg.intermediate_size, d)]
+    else:
+        targets = [("attn", n, d, d) for n in ("q", "k", "v", "out")]
+
+    for mod, leaf, d_in, d_out in targets:
+        key, sub = jax.random.split(key)
+        sub_params = dict(blocks[mod])
+        inner = dict(sub_params[leaf])
+        if "lora_a" not in inner:
+            inner.update(fresh(sub, d_in, d_out))
+        sub_params[leaf] = inner
+        blocks[mod] = sub_params
+    return dict(vision_params, blocks=blocks)
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -337,7 +379,14 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
     Shape dispatch mirrors reference image/modeling_image.py:630-643; pooling
     is CLS -> post-LN -> mean over frames (:659-662).
     """
-    if pixel_values.ndim == 5:
+    if pixel_values.ndim == 7:
+        # (b, pair, T, bs, c, h, w) — the reference's 7-D retrieval-pair
+        # layout (image/modeling_image.py:630-634): flatten to (B*T, C, H, W)
+        b_new, pair, T, bs, C, H, W = pixel_values.shape
+        B = b_new * pair * bs
+        frames = pixel_values.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+            B, T, C, H, W)
+    elif pixel_values.ndim == 5:
         B, C, T, H, W = pixel_values.shape
         frames = pixel_values.transpose(0, 2, 1, 3, 4)  # B T C H W
     else:

@@ -15,9 +15,11 @@ def _list(fourcc: bytes, payload: bytes) -> bytes:
 
 
 def write_mjpeg_avi(path: str, jpeg_frames, width: int, height: int,
-                    fps: int = 25):
+                    fps: int = 25, audio_pcm16: bytes = None,
+                    audio_rate: int = 16000):
     n = len(jpeg_frames)
     max_size = max(len(j) for j in jpeg_frames)
+    n_streams = 2 if audio_pcm16 else 1
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -27,7 +29,7 @@ def write_mjpeg_avi(path: str, jpeg_frames, width: int, height: int,
         0x10,            # flags: AVIF_HASINDEX
         n,               # total frames
         0,               # initial frames
-        1,               # streams
+        n_streams,       # streams
         max_size,        # suggested buffer size
         width, height,
         0, 0, 0, 0)      # reserved
@@ -48,20 +50,42 @@ def write_mjpeg_avi(path: str, jpeg_frames, width: int, height: int,
         40, width, height, 1, 24, b"MJPG",
         width * height * 3, 0, 0, 0, 0)
 
-    hdrl = _list(b"hdrl",
-                 _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
+    strl_v = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
 
-    movi_payload = b"".join(_chunk(b"00dc", j) for j in jpeg_frames)
+    strl_a = b""
+    if audio_pcm16:
+        n_samples = len(audio_pcm16) // 2
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"auds", b"\x00\x00\x00\x00",
+            0, 0, 0, 0,
+            1, audio_rate,           # scale, rate (samples/sec)
+            0, n_samples,            # start, length (samples)
+            audio_rate * 2,          # suggested buffer
+            0xFFFFFFFF, 2,           # quality, sample size (block align)
+            0, 0, 0, 0)
+        # WAVEFORMATEX: PCM16 mono
+        strf_a = struct.pack("<HHIIHH", 1, 1, audio_rate, audio_rate * 2,
+                             2, 16)
+        strl_a = _list(b"strl", _chunk(b"strh", strh_a)
+                       + _chunk(b"strf", strf_a))
+
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl_v + strl_a)
+
+    movi_chunks = [(b"00dc", j) for j in jpeg_frames]
+    if audio_pcm16:
+        movi_chunks.append((b"01wb", audio_pcm16))
+    movi_payload = b"".join(_chunk(cc, payload)
+                            for cc, payload in movi_chunks)
     movi = _list(b"movi", movi_payload)
 
     # idx1: offsets relative to 'movi' fourcc position
     idx_entries = []
     off = 4
-    for j in jpeg_frames:
-        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
-        off += 8 + len(j) + (len(j) % 2)
+    for cc, payload in movi_chunks:
+        idx_entries.append(struct.pack("<4sIII", cc, 0x10, off,
+                                       len(payload)))
+        off += 8 + len(payload) + (len(payload) % 2)
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
 
     riff_payload = b"AVI " + hdrl + movi + idx1
