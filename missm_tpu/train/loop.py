@@ -20,9 +20,23 @@ import jax.numpy as jnp
 
 from ..eval.sweep import _pad_batch, evaluate_metrics
 from ..models.finetune import ModelConfig
+from ..utils.prefetch import prefetch
+from ..utils.profiling import StepTimer
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .plateau import plateau_init, plateau_update
 from .step import TrainState, init_train_state, make_eval_step, make_train_step
+
+
+def _prepared_batches(loader, batch_size, device_put):
+    """Pad + host->device transfer, run ahead of the device in a prefetch
+    thread (double-buffered input pipeline)."""
+    def gen():
+        for data, labels, missing in loader:
+            data, labels, missing = _pad_batch((data, labels, missing),
+                                               batch_size)
+            yield (device_put(data), jnp.asarray(labels),
+                   jnp.asarray(missing))
+    return prefetch(gen(), depth=2)
 
 
 def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
@@ -49,19 +63,22 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     rng = jax.random.PRNGKey(seed)
     batch_size = train_loader.batch_size
 
+    timer = StepTimer()
     for epoch in range(num_epochs):
         t0 = time.time()
         train_loss = 0.0
         n_batches = 0
-        for data, labels, missing in train_loader:
+        timer.input_start()
+        for data, labels, missing in _prepared_batches(
+                train_loader, batch_size, device_put):
+            timer.input_end()
             rng, sub = jax.random.split(rng)
-            data, labels, missing = _pad_batch((data, labels, missing),
-                                               batch_size)
             lr = learning_rate * plateau.scale
-            state, m = step_fn(state, device_put(data), jnp.asarray(labels),
-                               jnp.asarray(missing), lr, sub)
-            train_loss += float(m["loss"])
+            state, m = step_fn(state, data, labels, missing, lr, sub)
+            train_loss += float(m["loss"])  # forces step completion
             n_batches += 1
+            timer.step_end()
+            timer.input_start()
         avg_train_loss = train_loss / max(n_batches, 1)
 
         val = evaluate_metrics(state.params, eval_fn, valid_loader,
