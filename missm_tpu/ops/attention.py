@@ -20,13 +20,18 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
 
     bias: optional additive attention bias broadcastable to [B, H, N, N]
     (e.g. a causal mask of -inf above the diagonal, or a key-padding mask).
+
+    Bias-free attention on TPU routes through the fused Pallas kernel
+    (kernels.flash_attention): the [N, N] score matrix stays in VMEM
+    instead of round-tripping HBM per layer. The biased path (text causal
+    mask, 77 tokens) stays on XLA einsums.
     """
     B, N, D = x.shape
     H = num_heads
     hd = D // H
     scale = hd ** -0.5
 
-    q = linear(params["q"], x, lora_scaling=lora_scaling) * scale
+    q = linear(params["q"], x, lora_scaling=lora_scaling)
     k = linear(params["k"], x, lora_scaling=lora_scaling)
     v = linear(params["v"], x, lora_scaling=lora_scaling)
 
@@ -34,16 +39,30 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     k = k.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    if bias is not None:
-        logits = logits + bias
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is None and _fused_ok(hd):
+        from ..kernels.flash_attention import fused_attention_ad
+        out = fused_attention_ad(q.reshape(B * H, N, hd),
+                                 k.reshape(B * H, N, hd),
+                                 v.reshape(B * H, N, hd))
+        out = out.reshape(B, H, N, hd)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
     return linear(params["out"], out, lora_scaling=lora_scaling)
+
+
+def _fused_ok(head_dim: int) -> bool:
+    if head_dim % 64 != 0:
+        return False
+    import jax as _jax
+    return _jax.default_backend() == "tpu"
 
 
 def causal_bias(n: int, dtype=jnp.float32):
