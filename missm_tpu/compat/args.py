@@ -33,6 +33,8 @@ def _common_model_flags(p: argparse.ArgumentParser):
 
 
 def _tpu_extras(p: argparse.ArgumentParser):
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config file (flags override file values)")
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--model_scale", type=str, default="large",
                    choices=["large", "tiny"])
@@ -78,7 +80,7 @@ def train_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--save_path", type=str, default="checkpoints")
     parser.add_argument("--log_dir", type=str, default="logs")
     _tpu_extras(parser)
-    return parser.parse_args(argv)
+    return _finalize(parser, argv)
 
 
 def test_args(argv=None) -> argparse.Namespace:
@@ -111,4 +113,14 @@ def test_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--missing_index_path", type=str, default=None)
     _tpu_extras(parser)
-    return parser.parse_args(argv)
+    return _finalize(parser, argv)
+
+
+def _finalize(parser: argparse.ArgumentParser, argv):
+    args = parser.parse_args(argv)
+    if args.config:
+        from .yaml_config import apply_yaml_config, explicit_cli_keys
+        import sys
+        raw = argv if argv is not None else sys.argv[1:]
+        apply_yaml_config(args, args.config, explicit_cli_keys(parser, raw))
+    return args

@@ -1,24 +1,26 @@
 """Fused self-attention Pallas kernel for the ViT towers.
 
-The XLA path materializes per-layer logits [B*H, N, N] (f32) in HBM — at
-ViT-L shapes (B=64, H=16, N=257) that is ~270 MB of write+read traffic per
-layer, a large share of the tower's runtime on a bandwidth-bound chip. The
-sequences here are short (257 image tokens, 8 frames, 77 text tokens —
-SURVEY §5 'long-context: absent'), so instead of a tiled flash-attention
-decomposition, one grid step computes a whole (batch, head) instance with
-q/k/v resident in VMEM and the [N, N] score matrix never leaving the chip:
+Why: at ViT-L shapes (B=64, H=16, N=257) the XLA path materializes per-layer
+f32 score matrices [B*H, N, N] in HBM — ~4 HBM passes over ~270 MB per
+layer, which measures as ~70% of the tower's step time on v5e (bandwidth
+bound; see scripts/attn_probe.py). The sequences are short (257 image
+tokens, 77 text tokens — SURVEY §5 'long-context: absent'), so no tiled
+flash decomposition is needed: one grid step computes whole (batch, head)
+instances with the [N, N] scores resident in VMEM.
 
-  grid = (B*H,); per step: q,k,v [N, D] -> scores f32 (VMEM) -> stable
-  softmax -> out [N, D]
+Layout: q/k/v arrive in the projections' natural [B, N, H*hd] layout and
+the output is written back in the same layout — the (B,N,H,hd)->(B,H,N,hd)
+transpose copies of the einsum formulation disappear entirely. The grid is
+(B, H/G): each step slices G heads' columns via the BlockSpec index map (no
+host-side reshape/pad), transposes [N, G, hd] -> [G, N, hd] inside VMEM,
+and runs a G-batched dot.
 
-VMEM footprint per step at N_pad=264, D=64: ~0.5 MB — far under the 16 MB
-budget, and the kernel needs no inter-step state. Padded key positions are
-masked with -inf via a broadcasted iota; padded query rows produce garbage
-the caller slices off.
+VMEM per step (G=4, N=257, hd=64): qkv+out ~0.5 MB + scores f32 ~1.1 MB.
 
-Numerics match the einsum path (f32 accumulation via
-preferred_element_type, f32 softmax) — asserted by tests against
-ops.attention.multi_head_attention.
+Numerics match the einsum path (f32 accumulation + f32 softmax); the
+backward pass is a custom VJP with the standard attention gradient as XLA
+einsums (scores materialize in bwd only — fuse later if training becomes
+attention-bound).
 """
 from __future__ import annotations
 
@@ -30,104 +32,103 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, head_dim: int,
+                 scale: float):
+    # unrolled loop over the G heads in this block; static lane slices —
+    # Mosaic cannot split the lane dim in a reshape, so heads are addressed
+    # by column ranges instead of a [N, G, hd] view.
+    for g in range(group):
+        sl = slice(g * head_dim, (g + 1) * head_dim)
+        q = q_ref[0, :, sl]                            # [N, hd]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N, N] f32, VMEM
+
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
+
+        o = jax.lax.dot_general(
+            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    q = q_ref[0]                                   # [Np, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [Np, Np] f32, VMEM
-
-    np_ = s.shape[1]
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
-    s = jnp.where(key_ids < n_valid, s, jnp.finfo(jnp.float32).min)
-
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=1, keepdims=True)
-
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_attention(q, k, v, interpret: bool = False):
-    """q, k, v: [BH, N, D] -> [BH, N, D]. Scale (D**-0.5) applied inside.
-
-    D should be a multiple of 64 (ViT head dims are 64/128); N is padded to
-    a sublane multiple internally. `interpret=True` runs the Pallas
-    interpreter (CPU tests).
-    """
-    BH, N, D = q.shape
-    scale = D ** -0.5
-    n_pad = _round_up(N, 8)
-    if n_pad != N:
-        pad = [(0, 0), (0, n_pad - N), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    kernel = functools.partial(_attn_kernel, n_valid=N, scale=scale)
-    out = pl.pallas_call(
+def fused_attention(q, k, v, num_heads: int, group: int = 4,
+                    interpret: bool = False):
+    """q, k, v: [B, N, D_model] (natural projection layout) ->
+    out [B, N, D_model]. Scale (head_dim**-0.5) applied inside."""
+    B, N, D = q.shape
+    hd = D // num_heads
+    if num_heads % group != 0:
+        group = 1
+    kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
+                               scale=hd ** -0.5)
+    spec = pl.BlockSpec((1, N, group * hd), lambda b, h: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, n_pad, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, n_pad, D), q.dtype),
+        grid=(B, num_heads // group),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * n_pad * n_pad * D,
-            bytes_accessed=4 * BH * n_pad * D * q.dtype.itemsize,
-            transcendentals=BH * n_pad * n_pad,
+            flops=4 * B * num_heads * N * N * hd,
+            bytes_accessed=4 * B * N * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :N, :]
 
 
-def _softmax_probs(q, k, scale):
-    """Reference probabilities for the backward pass (XLA einsums; the
-    [N, N] matrix materializes in the bwd only)."""
-    s = jnp.einsum("bqd,bkd->bqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    return jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+def _einsum_reference(q, k, v, num_heads: int):
+    """XLA formulation on the same [B, N, D] layout (bwd + CPU fallback)."""
+    B, N, D = q.shape
+    hd = D // num_heads
+    scale = hd ** -0.5
+    qh = q.reshape(B, N, num_heads, hd)
+    kh = k.reshape(B, N, num_heads, hd)
+    vh = v.reshape(B, N, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return o.reshape(B, N, D)
 
 
-@jax.custom_vjp
-def fused_attention_ad(q, k, v):
-    return fused_attention(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_ad(q, k, v, num_heads: int):
+    return fused_attention(q, k, v, num_heads)
 
 
-def _fa_fwd(q, k, v):
-    return fused_attention(q, k, v), (q, k, v)
+def _fa_fwd(q, k, v, num_heads):
+    return fused_attention(q, k, v, num_heads), (q, k, v)
 
 
-def _fa_bwd(res, g):
+def _fa_bwd(num_heads, res, g):
     q, k, v = res
-    D = q.shape[-1]
-    scale = D ** -0.5
-    p = _softmax_probs(q, k, scale)                       # [BH, N, N] f32
-    gf = g.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
-    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    B, N, D = q.shape
+    hd = D // num_heads
+    scale = hd ** -0.5
+    qh = q.reshape(B, N, num_heads, hd).astype(jnp.float32)
+    kh = k.reshape(B, N, num_heads, hd).astype(jnp.float32)
+    vh = v.reshape(B, N, num_heads, hd).astype(jnp.float32)
+    gh = g.reshape(B, N, num_heads, hd).astype(jnp.float32)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qh) * scale
+    return (dq.reshape(B, N, D).astype(q.dtype),
+            dk.reshape(B, N, D).astype(k.dtype),
+            dv.reshape(B, N, D).astype(v.dtype))
 
 
 fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)

@@ -35,26 +35,24 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     k = linear(params["k"], x, lora_scaling=lora_scaling)
     v = linear(params["v"], x, lora_scaling=lora_scaling)
 
-    q = q.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-    k = k.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-    v = v.reshape(B, N, H, hd).transpose(0, 2, 1, 3)
-
     if bias is None and _fused_ok(hd):
+        # fused kernel consumes/produces the natural [B, N, D] layout —
+        # no head transposes materialize
         from ..kernels.flash_attention import fused_attention_ad
-        out = fused_attention_ad(q.reshape(B * H, N, hd),
-                                 k.reshape(B * H, N, hd),
-                                 v.reshape(B * H, N, hd))
-        out = out.reshape(B, H, N, hd)
+        out = fused_attention_ad(q, k, v, H)
     else:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+        qh = q.reshape(B, N, H, hd)
+        kh = k.reshape(B, N, H, hd)
+        vh = v.reshape(B, N, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh,
                             preferred_element_type=jnp.float32)
         if bias is not None:
             logits = logits + bias
         probs = jax.nn.softmax(logits.astype(jnp.float32),
                                axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = out.reshape(B, N, D)
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 

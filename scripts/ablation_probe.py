@@ -1,0 +1,101 @@
+"""Ablation probe: where does the ViT-L step time go?"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from missm_tpu.core.config import languagebind_large
+from missm_tpu.models.tower import init_vision_params
+from missm_tpu.ops.basic import get_activation, layer_norm, linear
+from missm_tpu.kernels.flash_attention import fused_attention
+
+B = 64
+cfg = languagebind_large("image").vision
+N = cfg.num_patches + 1
+D = cfg.hidden_size
+H = cfg.num_heads
+
+
+def timeit(f, *args, iters=10):
+    out = f(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters
+
+
+def make_tower(attn_mode, group=4, qkv_fused=False):
+    act = get_activation(cfg.hidden_act)
+
+    def block(p, x):
+        h = layer_norm(p["ln1"], x, 1e-5)
+        if qkv_fused:
+            wqkv = jnp.concatenate([p["attn"]["q"]["w"], p["attn"]["k"]["w"],
+                                    p["attn"]["v"]["w"]], axis=1)
+            bqkv = jnp.concatenate([p["attn"]["q"]["b"], p["attn"]["k"]["b"],
+                                    p["attn"]["v"]["b"]])
+            qkv = (jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+                   + bqkv).astype(h.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = linear(p["attn"]["q"], h)
+            k = linear(p["attn"]["k"], h)
+            v = linear(p["attn"]["v"], h)
+        if attn_mode == "fused":
+            a = fused_attention(q, k, v, H, group=group)
+        elif attn_mode == "identity":
+            a = v
+        else:  # einsum
+            hd = D // H
+            qh = q.reshape(B, N, H, hd)
+            kh = k.reshape(B, N, H, hd)
+            vh = v.reshape(B, N, H, hd)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qh * (hd ** -0.5), kh,
+                           preferred_element_type=jnp.float32)
+            pr = jax.nn.softmax(s.astype(jnp.float32), -1).astype(h.dtype)
+            a = jnp.einsum("bhqk,bkhd->bqhd", pr, vh,
+                           preferred_element_type=jnp.float32).astype(
+                               h.dtype).reshape(B, N, D)
+        x = x + linear(p["attn"]["out"], a)
+        h = layer_norm(p["ln2"], x, 1e-5)
+        x = x + linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], h)))
+        return x
+
+    @jax.jit
+    def run(params, x):
+        def body(h, p):
+            return block(p, h), None
+        h, _ = jax.lax.scan(body, x, params["blocks"])
+        return h
+
+    return run
+
+
+def main():
+    params = init_vision_params(jax.random.PRNGKey(0), cfg,
+                                dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((B, N, D)),
+                    dtype=jnp.bfloat16)
+    for name, fn in [
+        ("identity-attn", make_tower("identity")),
+        ("einsum", make_tower("einsum")),
+        ("fused g=4", make_tower("fused", 4)),
+        ("fused g=8", make_tower("fused", 8)),
+        ("fused g=16", make_tower("fused", 16)),
+        ("fused g=4 qkvfused", make_tower("fused", 4, qkv_fused=True)),
+    ]:
+        dt = timeit(fn, params, x)
+        print(f"{name}: {dt * 1000:.1f} ms ({B / dt:.0f} img/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
