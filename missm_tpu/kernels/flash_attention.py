@@ -57,12 +57,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, head_dim: int,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
-def fused_attention(q, k, v, num_heads: int, group: int = 4,
+def fused_attention(q, k, v, num_heads: int, group: int | None = None,
                     interpret: bool = False):
     """q, k, v: [B, N, D_model] (natural projection layout) ->
-    out [B, N, D_model]. Scale (head_dim**-0.5) applied inside."""
+    out [B, N, D_model]. Scale (head_dim**-0.5) applied inside.
+
+    `group` = heads per grid step; larger groups amortize grid/DMA overhead
+    (measured best at 16 for ViT-L on v5e — scripts/ablation_probe.py)."""
+    import math
+
     B, N, D = q.shape
     hd = D // num_heads
+    if group is None:
+        group = math.gcd(num_heads, 16)
     if num_heads % group != 0:
         group = 1
     kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,

@@ -80,18 +80,84 @@ def make_tower(attn_mode, group=4, qkv_fused=False):
     return run
 
 
+def make_tower_bhne(group=1):
+    """Projections emit head-major [B, H, N, hd] directly (transpose fused
+    into the matmul); kernel blocks are contiguous, no lane slicing."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = get_activation(cfg.hidden_act)
+    hd = D // H
+
+    def attn_kernel(q_ref, k_ref, v_ref, o_ref):
+        for g in range(group):
+            q = q_ref[0, g]
+            k = k_ref[0, g]
+            v = v_ref[0, g]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (hd ** -0.5)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
+            o = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, g] = o.astype(o_ref.dtype)
+
+    def fused_bhne(q, k, v):
+        spec = pl.BlockSpec((1, group, N, hd), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            attn_kernel, grid=(B, H // group),
+            in_specs=[spec, spec, spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, N, hd), q.dtype),
+        )(q, k, v)
+
+    def block(p, x):
+        h = layer_norm(p["ln1"], x, 1e-5)
+        wq = p["attn"]["q"]["w"].reshape(D, H, hd)
+        wk = p["attn"]["k"]["w"].reshape(D, H, hd)
+        wv = p["attn"]["v"]["w"].reshape(D, H, hd)
+        q = (jnp.einsum("bnd,dhe->bhne", h, wq,
+                        preferred_element_type=jnp.float32)
+             + p["attn"]["q"]["b"].reshape(H, 1, hd)).astype(h.dtype)
+        k = (jnp.einsum("bnd,dhe->bhne", h, wk,
+                        preferred_element_type=jnp.float32)
+             + p["attn"]["k"]["b"].reshape(H, 1, hd)).astype(h.dtype)
+        v = (jnp.einsum("bnd,dhe->bhne", h, wv,
+                        preferred_element_type=jnp.float32)
+             + p["attn"]["v"]["b"].reshape(H, 1, hd)).astype(h.dtype)
+        a = fused_bhne(q, k, v)
+        wo = p["attn"]["out"]["w"].reshape(H, hd, D)
+        o = (jnp.einsum("bhne,hed->bnd", a, wo,
+                        preferred_element_type=jnp.float32)
+             + p["attn"]["out"]["b"]).astype(h.dtype)
+        x = x + o
+        h = layer_norm(p["ln2"], x, 1e-5)
+        x = x + linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], h)))
+        return x
+
+    @jax.jit
+    def run(params, x):
+        def body(h, p):
+            return block(p, h), None
+        h, _ = jax.lax.scan(body, x, params["blocks"])
+        return h
+
+    return run
+
+
 def main():
     params = init_vision_params(jax.random.PRNGKey(0), cfg,
                                 dtype=jnp.bfloat16)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((B, N, D)),
                     dtype=jnp.bfloat16)
     for name, fn in [
-        ("identity-attn", make_tower("identity")),
-        ("einsum", make_tower("einsum")),
-        ("fused g=4", make_tower("fused", 4)),
-        ("fused g=8", make_tower("fused", 8)),
         ("fused g=16", make_tower("fused", 16)),
-        ("fused g=4 qkvfused", make_tower("fused", 4, qkv_fused=True)),
+        ("bhne g=1", make_tower_bhne(1)),
+        ("bhne g=4", make_tower_bhne(4)),
+        ("bhne g=16", make_tower_bhne(16)),
     ]:
         dt = timeit(fn, params, x)
         print(f"{name}: {dt * 1000:.1f} ms ({B / dt:.0f} img/s)", flush=True)
