@@ -124,7 +124,16 @@ def make_loader_fns(args):
         seed=args.seed)
 
 
+def maybe_init_distributed(args):
+    """Multi-host startup: the NCCL `init_process_group` equivalent
+    (reference train_ddp.py:145) is `jax.distributed.initialize`, reading
+    the coordinator/process env that the TPU launcher provides."""
+    if getattr(args, "distributed", False):
+        jax.distributed.initialize()
+
+
 def setup_mesh(args):
+    maybe_init_distributed(args)
     n_model = getattr(args, "mesh_model", 1)
     mesh = make_mesh(n_model=n_model)
     return mesh

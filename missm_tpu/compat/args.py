@@ -46,6 +46,9 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--reference_randomness", type=_bool, default=False)
     p.add_argument("--remat", type=_bool, default=False)
     p.add_argument("--bf16", type=_bool, default=True)
+    p.add_argument("--distributed", type=_bool, default=False,
+                   help="multi-host: jax.distributed.initialize() from env "
+                        "(JAX_COORDINATOR_ADDRESS etc.) before device use")
 
 
 def train_args(argv=None) -> argparse.Namespace:

@@ -1,0 +1,60 @@
+"""Plateau scheduler semantics (torch ReduceLROnPlateau parity) and
+checkpoint-based mid-run resume (an improvement over the reference, which
+restarts training from scratch — SURVEY §5)."""
+import numpy as np
+import pytest
+
+import jax
+
+from missm_tpu.train.plateau import plateau_init, plateau_update
+
+
+def test_plateau_matches_torch():
+    torch = pytest.importorskip("torch")
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=0.1, patience=3)
+    state = plateau_init()
+    metrics = [0.5, 0.6, 0.6, 0.6, 0.6, 0.6, 0.7, 0.7, 0.7, 0.7, 0.7, 0.7,
+               0.65, 0.71]
+    for m in metrics:
+        sched.step(m)
+        state = plateau_update(state, m)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert state.scale == pytest.approx(torch_lr), m
+
+
+def test_resume_from_best_checkpoint(tmp_path):
+    """Restore best ckpt (params + opt state) and keep training — losses
+    continue finite and params advance."""
+    from missm_tpu.core.config import tiny_tower
+    from missm_tpu.models.finetune import ModelConfig, init_model_params
+    from missm_tpu.models.fusion import FusionConfig
+    from missm_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from missm_tpu.train.step import init_train_state, make_train_step
+    from tests.test_train_step import tiny_batch, tiny_model_cfg
+
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    state, _ = step(state, data, labels, missing, 1e-3, jax.random.PRNGKey(0))
+
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, {"params": state.params,
+                        "opt_state": state.opt_state},
+                    metadata={"epoch": 0})
+    tree, meta = restore_checkpoint(p)
+
+    # rebuild state from the restored trees and continue
+    state2, tx2 = init_train_state(tree["params"], cfg)
+    # re-hang restored leaves on the freshly built opt-state treedef
+    _, treedef = jax.tree_util.tree_flatten(state2.opt_state)
+    leaves = jax.tree_util.tree_leaves(tree["opt_state"])
+    state2 = state2._replace(
+        opt_state=jax.tree_util.tree_unflatten(treedef, leaves))
+    step2 = make_train_step(cfg, tx2)
+    state2, m = step2(state2, data, labels, missing, 1e-3,
+                      jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
