@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from missm_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import (ModelConfig, init_model_params)
     from missm_tpu.models.fusion import FusionConfig

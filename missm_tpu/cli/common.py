@@ -124,6 +124,11 @@ def make_loader_fns(args):
         seed=args.seed)
 
 
+def enable_cache():
+    from ..core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+
 def maybe_init_distributed(args):
     """Multi-host startup: the NCCL `init_process_group` equivalent
     (reference train_ddp.py:145) is `jax.distributed.initialize`, reading
@@ -133,6 +138,7 @@ def maybe_init_distributed(args):
 
 
 def setup_mesh(args):
+    enable_cache()
     maybe_init_distributed(args)
     n_model = getattr(args, "mesh_model", 1)
     mesh = make_mesh(n_model=n_model)

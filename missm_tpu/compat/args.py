@@ -44,7 +44,7 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--vocab_file", type=str, default=None)
     p.add_argument("--merges_file", type=str, default=None)
     p.add_argument("--reference_randomness", type=_bool, default=False)
-    p.add_argument("--remat", type=_bool, default=False)
+    p.add_argument("--remat", type=_bool, default=True)
     p.add_argument("--bf16", type=_bool, default=True)
     p.add_argument("--distributed", type=_bool, default=False,
                    help="multi-host: jax.distributed.initialize() from env "
