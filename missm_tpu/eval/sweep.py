@@ -38,16 +38,24 @@ def _pad_batch(tree, target: int):
 def evaluate_loader(params, eval_step, loader, *, batch_size=None,
                     device_put: Callable = lambda x: x):
     """Run the jitted eval step over a BatchLoader; returns
-    (metrics dict incl. summed loss, labels, preds, probs)."""
+    (metrics dict incl. summed loss, labels, preds, probs). Host decode and
+    device transfer run ahead in a prefetch thread."""
+    from ..utils.prefetch import prefetch
+
+    target = batch_size or loader.batch_size
+
+    def prepared():
+        for data, labels, missing in loader:
+            n = len(labels)
+            data, labels_p, missing_p = _pad_batch((data, labels, missing),
+                                                   target)
+            yield (n, labels, device_put(data), jnp.asarray(labels_p),
+                   jnp.asarray(missing_p))
+
     losses = []
     all_labels, all_preds, all_probs = [], [], []
-    for data, labels, missing in loader:
-        n = len(labels)
-        target = batch_size or loader.batch_size
-        data, labels_p, missing_p = _pad_batch((data, labels, missing),
-                                               target)
-        out = eval_step(params, device_put(data), jnp.asarray(labels_p),
-                        jnp.asarray(missing_p))
+    for n, labels, data, labels_p, missing_p in prefetch(prepared(), 2):
+        out = eval_step(params, data, labels_p, missing_p)
         losses.append(float(out["loss"]))
         all_preds.append(np.asarray(out["preds"])[:n])
         all_probs.append(np.asarray(out["probs"])[:n])

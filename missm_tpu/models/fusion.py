@@ -96,13 +96,19 @@ def _init_projs(key, cfg: FusionConfig):
 # -- mask helpers ------------------------------------------------------------
 
 def missing_masks(cfg: FusionConfig, missing_index) -> Dict[str, jax.Array]:
-    """{modality: [B] bool, True where that modality is MISSING}."""
-    return {m: missing_index == MODALITY_CODES[m] for m in cfg.modality_types}
+    """{modality: [B] bool, True where that modality is MISSING}.
+
+    depth/thermal carry no missing code in the benchmark (SURVEY §2:
+    encoder-supported, never dropped) — code -1 never matches, so they are
+    always present."""
+    return {m: missing_index == MODALITY_CODES.get(m, -1)
+            for m in cfg.modality_types}
 
 
 def present_matrix(cfg: FusionConfig, missing_index) -> jax.Array:
     """[B, M] bool, True where present, columns in modality_types order."""
-    cols = [missing_index != MODALITY_CODES[m] for m in cfg.modality_types]
+    cols = [missing_index != MODALITY_CODES.get(m, -1)
+            for m in cfg.modality_types]
     return jnp.stack(cols, axis=1)
 
 

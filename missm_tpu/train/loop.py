@@ -89,11 +89,15 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             writer.add_scalar("Loss/train", avg_train_loss, epoch)
             for k, v in val.items():
                 writer.add_scalar(f"{k}/val", v, epoch)
+        ts = timer.summary()
         log(f"Epoch {epoch + 1}/{num_epochs} "
             f"train_loss={avg_train_loss:.4f} val_loss={val['loss']:.4f} "
             f"val_acc={val['accuracy']:.4f} val_f1={val['f1']:.4f} "
             f"val_auc={val['auc']:.4f} lr_scale={plateau.scale:g} "
-            f"({time.time() - t0:.1f}s)")
+            f"step={ts['step_ms_mean']:.0f}ms "
+            f"duty={ts['duty_cycle']:.2f} ({time.time() - t0:.1f}s)")
+        if writer is not None:
+            writer.add_scalar("duty_cycle/train", ts["duty_cycle"], epoch)
 
         plateau = plateau_update(plateau, val["accuracy"])
 
