@@ -280,6 +280,8 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
         hn = layer_norm(p["ln1"], h, eps)
         hn = multi_head_attention(p["attn"], hn, num_heads=num_heads,
                                   bias=bias, lora_scaling=spatial_lora)
+        from jax.ad_checkpoint import checkpoint_name
+        hn = checkpoint_name(hn, "attn_out")
         h = res + hn
         res = h
         hn = layer_norm(p["ln2"], h, eps)
@@ -288,7 +290,14 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
         return h
 
     if remat:
-        run = jax.checkpoint(run)
+        # remat True/'full': save nothing (min memory). 'save_attn': keep
+        # each block's attention output so the MLP-side backward does not
+        # re-run the attention kernel (770 MB extra at ViT-L b64).
+        policy = None
+        if remat == "save_attn":
+            from jax.ad_checkpoint import checkpoint_policies
+            policy = checkpoint_policies.save_only_these_names("attn_out")
+        run = jax.checkpoint(run, policy=policy)
     return run(p, x)
 
 

@@ -18,12 +18,16 @@ from missm_tpu.train.step import init_train_state, make_train_step
 
 
 def main():
+    import sys as _sys
+    remat = _sys.argv[1] if len(_sys.argv) > 1 else True
+    if remat == "True":
+        remat = True
     towers = (("image", languagebind_large("image")),)
     fusion = FusionConfig(fusion_type="sum",
                           modality_types=("language", "image"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
     cfg = ModelConfig(towers=towers, fusion=fusion,
-                      compute_dtype="bfloat16", remat=True)
+                      compute_dtype="bfloat16", remat=remat)
 
     t0 = time.perf_counter()
     params = init_model_params(jax.random.PRNGKey(0), cfg)
