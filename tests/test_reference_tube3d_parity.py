@@ -1,0 +1,73 @@
+"""Golden parity vs the reference's CLIPVisionEmbeddings3D (tube video
+embedding, video/modeling_video.py:53-130): Conv2d->Conv3d weight
+inflation (zero-padded extra taps), per-tube CLS tokens, and the token
+layout my patchify3d matmul must reproduce."""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from missm_tpu.core.config import tiny_tower
+from missm_tpu.models.tower import _patchify3d
+from tests.ref_shim import load_reference_tower
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return load_reference_tower("video")
+
+
+def _vision_cfg(tube):
+    conf = sys.modules["ref_languagebind_video.configuration_video"]
+    c = conf.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=16,
+        add_time_attn=True, num_frames=4, lora_r=0)
+    c.tube_size = tube
+    return c
+
+
+@pytest.mark.parametrize("tube", [1, 2])
+def test_tube3d_embedding_parity(ref_mod, tube):
+    torch.manual_seed(0)
+    emb = ref_mod.CLIPVisionEmbeddings3D(_vision_cfg(tube)).eval()
+
+    B, T = 2, 4
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((B * T, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = emb(torch.tensor(frames)).numpy()   # [(B*T'), N+1, D]
+
+    # my formulation: flattened conv3d weight + patchify3d matmul
+    w3d = emb.patch_embedding.weight.detach().numpy()  # (D, C, tube, p, p)
+    w = w3d.reshape(w3d.shape[0], -1).T
+    cls = emb.class_embedding.detach().numpy()         # (T//tube, D)
+    pos = emb.position_embedding.weight.detach().numpy()
+
+    fr = jnp.asarray(frames.reshape(B, T, 3, 32, 32))
+    patches = _patchify3d(fr, 16, tube)                # [B, T', N, C*tube*p*p]
+    got = jnp.einsum("btnp,pd->btnd", patches, jnp.asarray(w))
+    T_eff = T // tube
+    cls_t = jnp.broadcast_to(jnp.asarray(cls)[None, :, None, :],
+                             (B, T_eff, 1, 32))
+    got = jnp.concatenate([cls_t, got], axis=2) + jnp.asarray(pos)[None, None]
+    got = np.asarray(got.reshape(B * T_eff, -1, 32))
+
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_expand3d_weight_inflation(ref_mod):
+    """The inflated Conv3d has the 2-D kernel in tap 0 and zeros in the
+    remaining temporal taps (video/modeling_video.py:80-104)."""
+    torch.manual_seed(1)
+    emb = ref_mod.CLIPVisionEmbeddings3D(_vision_cfg(2))
+    w = emb.patch_embedding.weight.detach().numpy()
+    assert w.shape == (32, 3, 2, 16, 16)
+    np.testing.assert_array_equal(w[:, :, 1], np.zeros_like(w[:, :, 1]))
+    assert np.abs(w[:, :, 0]).sum() > 0
