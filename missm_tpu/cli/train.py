@@ -28,6 +28,15 @@ def main(argv=None):
     if args.fusion_type in FORCE_TRAIN_MISSING:
         args.train_missing = True  # reference train_ddp.py:163-164
 
+    # set_seed equivalent (train_ddp.py:50-54). Improvement over the
+    # reference: python `random` is seeded too, so the train-time missing
+    # draws (random.choice in the datasets) are reproducible.
+    import random
+
+    import numpy as _np
+    random.seed(args.seed)
+    _np.random.seed(args.seed)
+
     experiment = f"{args.datasetName}_{args.fusion_type}"
     save_path = os.path.join("./experiments", experiment, args.save_path)
     log_dir = os.path.join("./experiments", experiment, args.log_dir)

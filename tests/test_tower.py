@@ -102,6 +102,31 @@ def test_contrastive_logits_parity(hf_and_jax):
                                rtol=1e-4)
 
 
+def test_text_attention_mask_parity(hf_and_jax):
+    """Padded sequences: the attention_mask must combine with the causal
+    mask exactly as HF does (pad keys excluded)."""
+    import torch
+    model, cfg, params = hf_and_jax
+    rng = np.random.default_rng(9)
+    ids = rng.integers(1, 98, size=(3, 16))
+    mask = np.ones((3, 16), np.int64)
+    ids[0, 6:] = 1          # pad tail with pad_token
+    ids[0, 5] = 98          # eos before the padding
+    mask[0, 6:] = 0
+    ids[1, -1] = 98
+    ids[2, 10:] = 1
+    ids[2, 9] = 98
+    mask[2, 10:] = 0
+    with torch.no_grad():
+        ref = model.get_text_features(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask)).numpy()
+    _, got = text_features(params["text"], cfg.text, jnp.asarray(ids),
+                           jnp.asarray(mask),
+                           projection=params["text_projection"])
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
+
+
 def test_video_tower_shapes():
     cfg = tiny_tower("video")
     params = init_tower_params(jax.random.PRNGKey(0), cfg)
