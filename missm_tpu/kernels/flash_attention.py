@@ -33,37 +33,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, head_dim: int,
-                 scale: float):
-    # unrolled loop over the G heads in this block; static lane slices —
-    # Mosaic cannot split the lane dim in a reshape, so heads are addressed
-    # by column ranges instead of a [N, G, hd] view.
-    for g in range(group):
-        sl = slice(g * head_dim, (g + 1) * head_dim)
-        q = q_ref[0, :, sl]                            # [N, hd]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
+                 scale: float, batch_block: int):
+    # unrolled loops over the images and G heads in this block; static lane
+    # slices — Mosaic cannot split the lane dim in a reshape, so heads are
+    # addressed by column ranges instead of a [N, G, hd] view.
+    for b in range(batch_block):
+        for g in range(group):
+            sl = slice(g * head_dim, (g + 1) * head_dim)
+            q = q_ref[b, :, sl]                            # [N, hd]
+            k = k_ref[b, :, sl]
+            v = v_ref[b, :, sl]
 
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [N, N] f32, VMEM
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [N, N] f32
 
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
 
-        o = jax.lax.dot_general(
-            p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+            o = jax.lax.dot_general(
+                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[b, :, sl] = o.astype(o_ref.dtype)
 
 
 def fused_attention(q, k, v, num_heads: int, group: int | None = None,
-                    interpret: bool = False):
+                    batch_block: int = 1, interpret: bool = False):
     """q, k, v: [B, N, D_model] (natural projection layout) ->
     out [B, N, D_model]. Scale (head_dim**-0.5) applied inside.
 
-    `group` = heads per grid step; larger groups amortize grid/DMA overhead
-    (measured best at 16 for ViT-L on v5e — scripts/ablation_probe.py)."""
+    `group` = heads per grid step; `batch_block` = images per grid step —
+    both amortize grid/DMA overhead (measured best at group 16 for ViT-L
+    on v5e — scripts/ablation_probe.py)."""
     import math
 
     B, N, D = q.shape
@@ -72,13 +74,14 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         group = math.gcd(num_heads, 16)
     if num_heads % group != 0:
         group = 1
+    bb = math.gcd(B, batch_block)
     kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
-                               scale=hd ** -0.5)
-    spec = pl.BlockSpec((1, N, group * hd), lambda b, h: (b, 0, h),
+                               scale=hd ** -0.5, batch_block=bb)
+    spec = pl.BlockSpec((bb, N, group * hd), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(B, num_heads // group),
+        grid=(B // bb, num_heads // group),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),

@@ -33,7 +33,7 @@ def timeit(f, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def make_tower(attn_mode, group=4, qkv_fused=False):
+def make_tower(attn_mode, group=4, qkv_fused=False, batch_block=1):
     act = get_activation(cfg.hidden_act)
 
     def block(p, x):
@@ -51,7 +51,8 @@ def make_tower(attn_mode, group=4, qkv_fused=False):
             k = linear(p["attn"]["k"], h)
             v = linear(p["attn"]["v"], h)
         if attn_mode == "fused":
-            a = fused_attention(q, k, v, H, group=group)
+            a = fused_attention(q, k, v, H, group=group,
+                                batch_block=batch_block)
         elif attn_mode == "identity":
             a = v
         else:  # einsum
@@ -148,6 +149,64 @@ def make_tower_bhne(group=1):
     return run
 
 
+def make_tower_scratch():
+    """Stage head slices into a [H, N, hd] VMEM scratch, then one batched
+    dot + one softmax + one batched dot for all heads."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    act = get_activation(cfg.hidden_act)
+    hd = D // H
+
+    def attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs):
+        for g in range(H):
+            sl = slice(g * hd, (g + 1) * hd)
+            qs[g] = q_ref[0, :, sl]
+            ks[g] = k_ref[0, :, sl]
+            vs[g] = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            qs[...], ks[...], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            p, vs[...], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        for g in range(H):
+            sl = slice(g * hd, (g + 1) * hd)
+            o_ref[0, :, sl] = o[g].astype(o_ref.dtype)
+
+    def fused(q, k, v):
+        spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            attn_kernel, grid=(B,),
+            in_specs=[spec, spec, spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+            scratch_shapes=[pltpu.VMEM((H, N, hd), jnp.bfloat16)] * 3,
+        )(q, k, v)
+
+    def block(p, x):
+        h = layer_norm(p["ln1"], x, 1e-5)
+        q = linear(p["attn"]["q"], h)
+        k = linear(p["attn"]["k"], h)
+        v = linear(p["attn"]["v"], h)
+        x = x + linear(p["attn"]["out"], fused(q, k, v))
+        h = layer_norm(p["ln2"], x, 1e-5)
+        x = x + linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], h)))
+        return x
+
+    @jax.jit
+    def run(params, x):
+        def body(h, p):
+            return block(p, h), None
+        h, _ = jax.lax.scan(body, x, params["blocks"])
+        return h
+
+    return run
+
+
 def main():
     params = init_vision_params(jax.random.PRNGKey(0), cfg,
                                 dtype=jnp.bfloat16)
@@ -155,9 +214,7 @@ def main():
                     dtype=jnp.bfloat16)
     for name, fn in [
         ("fused g=16", make_tower("fused", 16)),
-        ("bhne g=1", make_tower_bhne(1)),
-        ("bhne g=4", make_tower_bhne(4)),
-        ("bhne g=16", make_tower_bhne(16)),
+        ("scratch-batched", make_tower_scratch()),
     ]:
         dt = timeit(fn, params, x)
         print(f"{name}: {dt * 1000:.1f} ms ({B / dt:.0f} img/s)", flush=True)
