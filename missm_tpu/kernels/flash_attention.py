@@ -32,30 +32,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, group: int, head_dim: int,
-                 scale: float, batch_block: int):
-    # unrolled loops over the images and G heads in this block; static lane
-    # slices — Mosaic cannot split the lane dim in a reshape, so heads are
-    # addressed by column ranges instead of a [N, G, hd] view.
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
+                 head_dim: int, scale: float, batch_block: int):
+    # Stage per-head lane slices into head-major [G, N, hd] VMEM scratch
+    # (Mosaic cannot lane-split a reshape, so the relayout is explicit
+    # copies), then ONE G-batched dot -> ONE softmax -> ONE batched dot —
+    # measured slightly faster than per-head op chains
+    # (scripts/ablation_probe.py).
     for b in range(batch_block):
         for g in range(group):
             sl = slice(g * head_dim, (g + 1) * head_dim)
-            q = q_ref[b, :, sl]                            # [N, hd]
-            k = k_ref[b, :, sl]
-            v = v_ref[b, :, sl]
+            qs[g] = q_ref[b, :, sl]
+            ks[g] = k_ref[b, :, sl]
+            vs[g] = v_ref[b, :, sl]
 
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [N, N] f32
+        s = jax.lax.dot_general(
+            qs[...], ks[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # [G, N, N] f32
 
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(qs.dtype)
 
-            o = jax.lax.dot_general(
-                p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_ref[b, :, sl] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p, vs[...], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [G, N, hd]
+        for g in range(group):
+            sl = slice(g * head_dim, (g + 1) * head_dim)
+            o_ref[b, :, sl] = o[g].astype(o_ref.dtype)
 
 
 def fused_attention(q, k, v, num_heads: int, group: int | None = None,
@@ -85,6 +90,7 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((group, N, hd), q.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * N * N * hd,
             bytes_accessed=4 * B * N * D * q.dtype.itemsize,
