@@ -52,13 +52,21 @@ def evaluate_loader(params, eval_step, loader, *, batch_size=None,
             yield (n, labels, device_put(data), jnp.asarray(labels_p),
                    jnp.asarray(missing_p))
 
+    multihost = jax.process_count() > 1
     losses = []
     all_labels, all_preds, all_probs = [], [], []
     for n, labels, data, labels_p, missing_p in prefetch(prepared(), 2):
         out = eval_step(params, data, labels_p, missing_p)
-        losses.append(float(out["loss"]))
-        all_preds.append(np.asarray(out["preds"])[:n])
-        all_probs.append(np.asarray(out["probs"])[:n])
+        if multihost:
+            # each host sees its own shard; gather for global metrics (the
+            # reference's gather_tensor equivalent, train_ddp.py:64-67,
+            # minus the wrap-around duplicates)
+            from jax.experimental import multihost_utils
+            out = multihost_utils.process_allgather(out)
+        losses.append(float(np.mean(out["loss"])))
+        all_preds.append(np.asarray(out["preds"]).reshape(-1)[:n])
+        all_probs.append(np.asarray(out["probs"]).reshape(
+            -1, np.asarray(out["probs"]).shape[-1])[:n])
         all_labels.append(labels)
     labels = np.concatenate(all_labels)
     preds = np.concatenate(all_preds)

@@ -79,6 +79,10 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         group = math.gcd(num_heads, 16)
     if num_heads % group != 0:
         group = 1
+    # Mosaic block constraint: last dim must be 128-divisible or the full
+    # array dim — fall back to all heads per step (block == D) otherwise.
+    if (group * hd) % 128 != 0 and group != num_heads:
+        group = num_heads
     bb = math.gcd(B, batch_block)
     kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
                                scale=hd ** -0.5, batch_block=bb)
