@@ -3,9 +3,8 @@ wiring, checkpoint-based initialization, mesh setup."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
-import numpy as np
 import jax
 
 from ..core.config import TowerConfig, languagebind_large, tiny_tower
@@ -15,7 +14,7 @@ from ..data.tokenizer import load_tokenizer
 from ..models.encoder import build_encoder_params
 from ..models.finetune import ModelConfig, init_model_params
 from ..models.fusion import FusionConfig
-from ..parallel import partition_params, shard_batch
+from ..parallel import shard_batch
 
 # fusion types that force train-time missing simulation
 # (reference train_ddp.py:163-164)

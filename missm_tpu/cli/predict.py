@@ -6,11 +6,9 @@ python -m missm_tpu.cli.predict --datasetName mvsa --csv_path .../label.csv \
 """
 from __future__ import annotations
 
-import argparse
 import os
 
 import numpy as np
-import jax
 
 from ..compat.args import test_args
 from ..data.datasets import DATASET_SPECS, MMDataset, encode_labels

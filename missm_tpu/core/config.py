@@ -20,7 +20,7 @@ Reference parity notes (citations into /root/reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Per-sample scalar missing code: 0 = complete sample.
 # (reference: src/model/baseline.py:8)

@@ -26,7 +26,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..core.config import CODE_TO_MODALITY, MODALITY_CODES
+from ..core.config import CODE_TO_MODALITY
 
 
 @dataclasses.dataclass(frozen=True)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.config import TowerConfig
 from ..ops.image_transforms import (
-    depth_transform, image_transform, uniform_frame_indices, video_transform,
+    depth_transform, image_transform, video_transform,
 )
 from ..ops.melfbank import (
     FbankConfig, chunk_ranges, kaldi_fbank, waveform_to_model_input,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import TowerConfig
-from ..ops.basic import l2_normalize, linear
+from ..ops.basic import l2_normalize
 from .tower import init_tower_params, text_features, vision_features
 
 

@@ -29,8 +29,6 @@ lowering, and it is numerically identical to conv with stride == kernel.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ from ..utils.prefetch import prefetch
 from ..utils.profiling import StepTimer
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .plateau import plateau_init, plateau_update
-from .step import TrainState, init_train_state, make_eval_step, make_train_step
+from .step import init_train_state, make_eval_step, make_train_step
 
 
 def _prepared_batches(loader, batch_size, device_put):

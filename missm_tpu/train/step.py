@@ -18,7 +18,7 @@ Learning rate is a traced scalar argument (no recompdue to plateau decay).
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
