@@ -35,7 +35,7 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     k = linear(params["k"], x, lora_scaling=lora_scaling)
     v = linear(params["v"], x, lora_scaling=lora_scaling)
 
-    if bias is None and _fused_ok(hd):
+    if bias is None and _fused_ok(hd, N):
         # fused kernel consumes/produces the natural [B, N, D] layout —
         # no head transposes materialize
         from ..kernels.flash_attention import fused_attention_ad
@@ -56,8 +56,13 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 
-def _fused_ok(head_dim: int) -> bool:
+def _fused_ok(head_dim: int, seq_len: int) -> bool:
     if head_dim % 64 != 0:
+        return False
+    # short sequences (temporal attention over T<=8 frames runs on a
+    # [B*tokens, T, D] layout) would explode the kernel grid into tens of
+    # thousands of tiny steps — XLA's einsum is the right tool there
+    if seq_len < 64:
         return False
     import jax as _jax
     return _jax.default_backend() == "tpu"

@@ -82,6 +82,32 @@ def test_train_step_dp_tp():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_tp_matches_dp_numerics():
+    """The TP weight sharding must be a pure layout change: one train step
+    on a 4x2 dp/tp mesh produces the same loss and (near-)identical params
+    as the 8x1 pure-DP mesh."""
+    cfg = tiny_model_cfg("sum")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = tiny_batch()
+
+    results = []
+    for n_data, n_model, tp in ((8, 1, False), (4, 2, True)):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        params = partition_params(
+            jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh, tp=tp)
+        state, tx = init_train_state(params, cfg)
+        step = make_train_step(cfg, tx)
+        d = shard_batch(data, mesh)
+        state, m = step(state, d, labels, missing, 1e-2,
+                        jax.random.PRNGKey(0))
+        results.append((float(m["loss"]),
+                        np.asarray(state.params["fusion"]["proj"]["image"]["w"])))
+
+    (loss_dp, w_dp), (loss_tp, w_tp) = results
+    assert loss_dp == pytest.approx(loss_tp, rel=1e-5)
+    np.testing.assert_allclose(w_dp, w_tp, atol=1e-5, rtol=1e-4)
+
+
 def test_frozen_base_lora_trains():
     """peft semantics: vision block base weights frozen, LoRA + fusion +
     text + embeddings train."""
