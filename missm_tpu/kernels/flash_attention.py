@@ -75,14 +75,29 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
 
     B, N, D = q.shape
     hd = D // num_heads
-    if group is None:
-        group = math.gcd(num_heads, 16)
-    if num_heads % group != 0:
-        group = 1
-    # Mosaic block constraint: last dim must be 128-divisible or the full
-    # array dim — fall back to all heads per step (block == D) otherwise.
-    if (group * hd) % 128 != 0 and group != num_heads:
-        group = num_heads
+    # Group selection among divisors of num_heads:
+    # - Mosaic lane constraint: block last dim (G*hd) must be 128-divisible
+    #   (or the full model dim, i.e. G == num_heads);
+    # - VMEM budget: the f32 score block is G*N*N*4 bytes + staging; cap so
+    #   long sequences (audio tower: N=593) fit in ~10 of the 16 MB;
+    # - otherwise prefer the largest group <= 16 (amortizes grid overhead —
+    #   scripts/ablation_probe.py).
+    def _lane_ok(g):
+        return (g * hd) % 128 == 0 or g == num_heads
+
+    def _fits(g):
+        return g * (N * N * 4 + 6 * N * hd) <= 10 * 1024 * 1024
+
+    divisors = [d for d in range(1, num_heads + 1) if num_heads % d == 0]
+    lane_valid = [d for d in divisors if _lane_ok(d)]
+    candidates = [d for d in lane_valid if _fits(d) and d <= max(group or 16,
+                                                                 1)]
+    if group is not None and num_heads % group == 0 and _lane_ok(group):
+        chosen = group if _fits(group) else (max(candidates)
+                                             if candidates else min(lane_valid))
+    else:
+        chosen = max(candidates) if candidates else min(lane_valid)
+    group = chosen
     bb = math.gcd(B, batch_block)
     kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
                                scale=hd ** -0.5, batch_block=bb)
