@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
-                 head_dim: int, scale: float, batch_block: int):
+                 head_dim: int, scale: float, batch_block: int,
+                 block_diag: int = 0):
     # Stage per-head lane slices into head-major [G, N, hd] VMEM scratch
     # (Mosaic cannot lane-split a reshape, so the relayout is explicit
     # copies), then ONE G-batched dot -> ONE softmax -> ONE batched dot —
@@ -51,6 +52,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # [G, N, N] f32
 
+        if block_diag:
+            # packed short-sequence mode: rows may only attend within their
+            # own `block_diag`-sized instance
+            n = s.shape[1]
+            r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_diag
+            c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_diag
+            s = jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
+
         m = jnp.max(s, axis=2, keepdims=True)
         e = jnp.exp(s - m)
         p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(qs.dtype)
@@ -64,13 +73,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
 
 
 def fused_attention(q, k, v, num_heads: int, group: int | None = None,
-                    batch_block: int = 1, interpret: bool = False):
+                    batch_block: int = 1, block_diag: int = 0,
+                    interpret: bool = False):
     """q, k, v: [B, N, D_model] (natural projection layout) ->
     out [B, N, D_model]. Scale (head_dim**-0.5) applied inside.
 
     `group` = heads per grid step; `batch_block` = images per grid step —
     both amortize grid/DMA overhead (measured best at group 16 for ViT-L
-    on v5e — scripts/ablation_probe.py)."""
+    on v5e — scripts/ablation_probe.py). `block_diag=T` confines attention
+    to T-sized blocks along the sequence (packed short-sequence mode)."""
     import math
 
     B, N, D = q.shape
@@ -100,7 +111,8 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
     group = chosen
     bb = math.gcd(B, batch_block)
     kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
-                               scale=hd ** -0.5, batch_block=bb)
+                               scale=hd ** -0.5, batch_block=bb,
+                               block_diag=block_diag)
     spec = pl.BlockSpec((bb, N, group * hd), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -119,7 +131,13 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
     )(q, k, v)
 
 
-def _einsum_reference(q, k, v, num_heads: int):
+def _block_diag_bias(n: int, block: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block
+    return jnp.where(r == c, 0.0, jnp.finfo(jnp.float32).min)
+
+
+def _einsum_reference(q, k, v, num_heads: int, block_diag: int = 0):
     """XLA formulation on the same [B, N, D] layout (bwd + CPU fallback)."""
     B, N, D = q.shape
     hd = D // num_heads
@@ -129,22 +147,25 @@ def _einsum_reference(q, k, v, num_heads: int):
     vh = v.reshape(B, N, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh,
                    preferred_element_type=jnp.float32)
+    if block_diag:
+        s = s + _block_diag_bias(N, block_diag)[None, None]
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, vh,
                    preferred_element_type=jnp.float32).astype(q.dtype)
     return o.reshape(B, N, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_attention_ad(q, k, v, num_heads: int):
-    return fused_attention(q, k, v, num_heads)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_ad(q, k, v, num_heads: int, block_diag: int = 0):
+    return fused_attention(q, k, v, num_heads, block_diag=block_diag)
 
 
-def _fa_fwd(q, k, v, num_heads):
-    return fused_attention(q, k, v, num_heads), (q, k, v)
+def _fa_fwd(q, k, v, num_heads, block_diag):
+    return fused_attention(q, k, v, num_heads,
+                           block_diag=block_diag), (q, k, v)
 
 
-def _fa_bwd(num_heads, res, g):
+def _fa_bwd(num_heads, block_diag, res, g):
     q, k, v = res
     B, N, D = q.shape
     hd = D // num_heads
@@ -155,6 +176,8 @@ def _fa_bwd(num_heads, res, g):
     gh = g.reshape(B, N, num_heads, hd).astype(jnp.float32)
 
     s = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
+    if block_diag:
+        s = s + _block_diag_bias(N, block_diag)[None, None]
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
     dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)

@@ -250,13 +250,15 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
                 ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
                 ht = ht + p["temporal_embedding"][:T][None, None]
                 h = ht.transpose(0, 2, 1, 3).reshape(-1, N, h.shape[-1])
-            # temporal attention over the frame axis (ref :117-127)
+            # temporal attention over the frame axis (ref :117-127);
+            # tiny-T instances are MXU-packed (ops.attention.short_attention)
+            from ..ops.attention import short_attention
             res = h
             ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
             ht = ht.reshape(-1, T, h.shape[-1])
             ht = layer_norm(p["tln1"], ht, eps)
-            ht = multi_head_attention(p["tattn"], ht, num_heads=num_heads,
-                                      lora_scaling=lora_scaling)
+            ht = short_attention(p["tattn"], ht, num_heads=num_heads,
+                                 lora_scaling=lora_scaling)
             ht = ht.reshape(-1, N, T, ht.shape[-1]).transpose(0, 2, 1, 3)
             h = res + ht.reshape(-1, N, ht.shape[-1])
             if "tmlp" in p:

@@ -56,6 +56,39 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 
+def short_attention(params, x, *, num_heads: int,
+                    lora_scaling: float | None = None, pack_to: int = 128):
+    """Self-attention over [M, T, D] with tiny T (the temporal axis —
+    T <= 8 frames). Tiny instances map terribly onto the 128x128 MXU
+    (~1.6% tile utilization), so on TPU `pack_to // T` instances are packed
+    into one 128-token sequence and attention is confined to each instance
+    with a block-diagonal mask inside the fused kernel — 100% tile
+    utilization at 16x redundant (masked) score FLOPs, a large net win.
+    Falls back to the einsum path elsewhere."""
+    M, T, D = x.shape
+    hd = D // num_heads
+    if (not _fused_ok(hd, pack_to) or T >= pack_to or pack_to % T != 0):
+        return multi_head_attention(params, x, num_heads=num_heads,
+                                    lora_scaling=lora_scaling)
+
+    q = linear(params["q"], x, lora_scaling=lora_scaling)
+    k = linear(params["k"], x, lora_scaling=lora_scaling)
+    v = linear(params["v"], x, lora_scaling=lora_scaling)
+
+    pack = pack_to // T
+    m_pad = -(-M // pack) * pack
+
+    def repack(t):
+        if m_pad != M:
+            t = jnp.pad(t, ((0, m_pad - M), (0, 0), (0, 0)))
+        return t.reshape(m_pad // pack, pack * T, D)
+
+    from ..kernels.flash_attention import fused_attention_ad
+    out = fused_attention_ad(repack(q), repack(k), repack(v), num_heads, T)
+    out = out.reshape(m_pad, T, D)[:M]
+    return linear(params["out"], out, lora_scaling=lora_scaling)
+
+
 def _fused_ok(head_dim: int, seq_len: int) -> bool:
     if head_dim % 64 != 0:
         return False

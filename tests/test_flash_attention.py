@@ -37,7 +37,7 @@ def test_custom_vjp_matches_einsum_grads(rng):
     ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     out = _einsum_reference(q, k, v, heads)
     g = 2.0 * out
-    got_grads = _fa_bwd(heads, (q, k, v), g)
+    got_grads = _fa_bwd(heads, 0, (q, k, v), g)
     for a, b in zip(got_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3)
