@@ -55,6 +55,13 @@ def build_encoder_params(towers: Dict[str, dict], order: Sequence[str]):
     return enc
 
 
+def to_device(x: Mapping, device=None):
+    """API-parity helper (reference languagebind/__init__.py:87-89): move a
+    dict of arrays to a device (default device when None)."""
+    import jax
+    return {k: jax.device_put(v, device) for k, v in x.items()}
+
+
 def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
            *, use_temp: bool = True, train: bool = False, rng=None,
            remat: bool = False) -> Dict[str, jax.Array]:
