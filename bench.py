@@ -59,16 +59,25 @@ def main():
     eval_step = make_eval_step(cfg)
 
     # compile + warmup. NOTE: the tunneled platform's block_until_ready does
-    # not synchronize with remote execution; a scalar host readback does.
+    # not synchronize, and unfetched results may evaluate lazily — so each
+    # iteration's input carries a zero-valued dependency on the previous
+    # output, and ONE final readback forces the whole chain (per-step
+    # readbacks would add tunnel RTT noise to every iteration).
+    def chained(img, i):
+        out = eval_step(params, dict(data, image=img), labels,
+                        masks[i % len(masks)])
+        return img + out["loss"].astype(img.dtype) * 0, out
+
+    img = data["image"]
     for i in range(3):
-        out = eval_step(params, data, labels, masks[i % len(masks)])
-        float(out["loss"])
+        img, out = chained(img, i)
+    float(out["loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
-        out = eval_step(params, data, labels, masks[i % len(masks)])
-        float(out["loss"])  # force completion
+        img, out = chained(img, i)
+    float(out["loss"])  # forces the full dependent chain
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
