@@ -49,25 +49,42 @@ def evaluate_loader(params, eval_step, loader, *, batch_size=None,
             n = len(labels)
             data, labels_p, missing_p = _pad_batch((data, labels, missing),
                                                    target)
+            # mask built host-side and passed as a traced array — one jit
+            # signature for every partial-batch size
+            valid = jnp.asarray(np.arange(target) < n)
             yield (n, labels, device_put(data), jnp.asarray(labels_p),
-                   jnp.asarray(missing_p))
+                   jnp.asarray(missing_p), valid)
 
     multihost = jax.process_count() > 1
     losses = []
     all_labels, all_preds, all_probs = [], [], []
-    for n, labels, data, labels_p, missing_p in prefetch(prepared(), 2):
-        out = eval_step(params, data, labels_p, missing_p)
+    for n, labels, data, labels_p, missing_p, valid in prefetch(prepared(), 2):
+        out = eval_step(params, data, labels_p, missing_p, valid=valid)
         if multihost:
-            # each host sees its own shard; gather for global metrics (the
-            # reference's gather_tensor equivalent, train_ddp.py:64-67,
-            # minus the wrap-around duplicates)
+            # each host sees its own sampler shard; gather preds/probs AND
+            # the matching labels + per-host valid counts so pairing stays
+            # host-by-host (the reference's gather_tensor equivalent,
+            # train_ddp.py:64-67, minus the wrap-around duplicates). The
+            # batch loss is the global masked mean from summed
+            # (loss_sum, count).
             from jax.experimental import multihost_utils
-            out = multihost_utils.process_allgather(out)
-        losses.append(float(np.mean(out["loss"])))
-        all_preds.append(np.asarray(out["preds"]).reshape(-1)[:n])
-        all_probs.append(np.asarray(out["probs"]).reshape(
-            -1, np.asarray(out["probs"]).shape[-1])[:n])
-        all_labels.append(labels)
+            g = multihost_utils.process_allgather(
+                {"preds": out["preds"], "probs": out["probs"],
+                 "loss_sum": out["loss_sum"], "count": out["count"],
+                 "labels": labels_p, "n": jnp.int32(n)})
+            losses.append(float(np.sum(g["loss_sum"])) /
+                          max(float(np.sum(g["count"])), 1.0))
+            ns = np.asarray(g["n"])
+            for p in range(ns.shape[0]):
+                n_p = int(ns[p])
+                all_preds.append(np.asarray(g["preds"][p])[:n_p])
+                all_probs.append(np.asarray(g["probs"][p])[:n_p])
+                all_labels.append(np.asarray(g["labels"][p])[:n_p])
+        else:
+            losses.append(float(out["loss"]))
+            all_preds.append(np.asarray(out["preds"])[:n])
+            all_probs.append(np.asarray(out["probs"])[:n])
+            all_labels.append(labels)
     labels = np.concatenate(all_labels)
     preds = np.concatenate(all_preds)
     probs = np.concatenate(all_probs)

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from ..eval.sweep import _pad_batch, evaluate_metrics
 from ..models.finetune import ModelConfig
 from ..utils.prefetch import prefetch
-from ..utils.profiling import StepTimer
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .plateau import plateau_init, plateau_update
 from .step import init_train_state, make_eval_step, make_train_step
@@ -47,9 +46,16 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                final_path: Optional[str] = None,
                device_put: Callable = lambda x: x,
                writer=None, log: Callable = print,
-               args_metadata: Optional[dict] = None):
+               args_metadata: Optional[dict] = None,
+               sync_every: int = 32):
     """Returns (best_params, history). `writer` is an optional TensorBoard
-    SummaryWriter-compatible object."""
+    SummaryWriter-compatible object.
+
+    The epoch loss is accumulated ON DEVICE and read back once per
+    `sync_every` steps (flow control / timing sync; on the tunneled axon
+    platform only an actual readback blocks) plus once at epoch end — the
+    per-step `float(loss)` readback costs ~25 ms tunnel RTT per step
+    (docs/PERF.md), which this avoids."""
     state, tx = init_train_state(params, cfg, weight_decay=weight_decay,
                                  teacher_fusion=teacher_fusion)
     step_fn = make_train_step(cfg, tx)
@@ -63,23 +69,31 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     rng = jax.random.PRNGKey(seed)
     batch_size = train_loader.batch_size
 
-    timer = StepTimer()
     for epoch in range(num_epochs):
         t0 = time.time()
-        train_loss = 0.0
+        loss_acc = None  # device-resident running sum — no per-step readback
         n_batches = 0
-        timer.input_start()
+        input_s = 0.0
+        step_s = 0.0
+        t_in = time.perf_counter()
         for data, labels, missing in _prepared_batches(
                 train_loader, batch_size, device_put):
-            timer.input_end()
+            t_now = time.perf_counter()
+            input_s += t_now - t_in
             rng, sub = jax.random.split(rng)
             lr = learning_rate * plateau.scale
             state, m = step_fn(state, data, labels, missing, lr, sub)
-            train_loss += float(m["loss"])  # forces step completion
+            loss_acc = m["loss"] if loss_acc is None else loss_acc + m["loss"]
             n_batches += 1
-            timer.step_end()
-            timer.input_start()
-        avg_train_loss = train_loss / max(n_batches, 1)
+            if sync_every and n_batches % sync_every == 0:
+                float(loss_acc)  # drains the device queue; value unchanged
+            t_in = time.perf_counter()
+            step_s += t_in - t_now
+        t_now = time.perf_counter()
+        avg_train_loss = (float(loss_acc) / n_batches if n_batches else 0.0)
+        step_s += time.perf_counter() - t_now  # final drain is device time
+        ts = {"step_ms_mean": step_s * 1000 / max(n_batches, 1),
+              "duty_cycle": step_s / max(step_s + input_s, 1e-9)}
 
         val = evaluate_metrics(state.params, eval_fn, valid_loader,
                                device_put=device_put)
@@ -89,7 +103,6 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             writer.add_scalar("Loss/train", avg_train_loss, epoch)
             for k, v in val.items():
                 writer.add_scalar(f"{k}/val", v, epoch)
-        ts = timer.summary()
         log(f"Epoch {epoch + 1}/{num_epochs} "
             f"train_loss={avg_train_loss:.4f} val_loss={val['loss']:.4f} "
             f"val_acc={val['accuracy']:.4f} val_f1={val['f1']:.4f} "

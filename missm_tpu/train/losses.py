@@ -14,10 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(logits, labels):
+def per_sample_cross_entropy(logits, labels):
+    """Per-row NLL (no reduction) — lets eval mask out padded rows."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return nll.mean()
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+def cross_entropy(logits, labels):
+    return per_sample_cross_entropy(logits, labels).mean()
 
 
 def kl_distill_loss(student, teacher, temperature: float = 0.15):

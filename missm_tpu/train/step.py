@@ -26,7 +26,7 @@ import optax
 
 from ..models.finetune import ModelConfig, model_forward
 from .losses import (cross_entropy, kl_distill_loss, masked_kl_distill,
-                     mse_loss)
+                     mse_loss, per_sample_cross_entropy)
 from .trainability import TRAIN, param_labels
 
 
@@ -119,16 +119,31 @@ def make_train_step(cfg: ModelConfig, tx):
 
 
 def make_eval_step(cfg: ModelConfig):
-    """Returns jitted eval(params, data, labels, missing_index) ->
-    dict(loss, preds, probs) — the body of `evaluate`
-    (train_ddp.py:98-125) / the test sweep inner loop (test.py:131-154)."""
+    """Returns jitted eval(params, data, labels, missing_index[, valid]) ->
+    dict(loss, loss_sum, count, preds, probs) — the body of `evaluate`
+    (train_ddp.py:98-125) / the test sweep inner loop (test.py:131-154).
 
-    def eval_fn(params, data, labels, missing_index):
+    `valid` is an optional boolean [B] mask: rows padded in by the
+    static-shape batcher are excluded from the loss (the reference never
+    pads, so its batch-mean loss covers only real rows — this reproduces
+    that with static shapes). `loss_sum`/`count` let multi-host callers
+    combine the masked mean exactly across processes."""
+
+    def eval_fn(params, data, labels, missing_index, valid=None):
         logits, _ = model_forward(params, cfg, data, missing_index,
                                   train=False)
-        loss = cross_entropy(logits, labels)
+        nll = per_sample_cross_entropy(logits, labels)
+        if valid is None:
+            loss_sum = nll.sum()
+            count = jnp.asarray(nll.shape[0], jnp.float32)
+        else:
+            v = valid.astype(nll.dtype)
+            loss_sum = (nll * v).sum()
+            count = v.sum()
+        loss = loss_sum / jnp.maximum(count, 1.0)
         probs = jax.nn.softmax(logits, axis=-1)
         preds = jnp.argmax(logits, axis=-1)
-        return {"loss": loss, "preds": preds, "probs": probs}
+        return {"loss": loss, "loss_sum": loss_sum, "count": count,
+                "preds": preds, "probs": probs}
 
     return jax.jit(eval_fn)

@@ -1,0 +1,163 @@
+"""Eval-parity defect regressions (VERDICT round 1, weak #1/#2):
+
+1. Padded rows must not contaminate the eval loss — with batch_size coprime
+   to the dataset size, `evaluate_loader`'s per-batch losses must equal the
+   exact unpadded batch means (the reference never pads; test.py:131-154
+   batch loss is the mean over real rows only).
+2. Multi-host gather must keep (label, pred) pairing host-by-host — a
+   2-process CPU run (jax.distributed + Gloo) must reproduce the
+   single-process metrics over the union of both shards.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from missm_tpu.core.config import tiny_tower
+from missm_tpu.eval.sweep import evaluate_loader, evaluate_metrics
+from missm_tpu.metrics import compute_metrics
+from missm_tpu.models.finetune import ModelConfig, init_model_params
+from missm_tpu.models.fusion import FusionConfig
+from missm_tpu.train.step import make_eval_step
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+class ListLoader:
+    """Minimal loader: slices pre-built arrays into (data, labels, missing)
+    batches; final batch may be partial (torch drop_last=False)."""
+
+    def __init__(self, data, labels, missing, batch_size):
+        self.data = data
+        self.labels = labels
+        self.missing = missing
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        n = len(self.labels)
+        for i in range(0, n, self.batch_size):
+            sl = slice(i, min(i + self.batch_size, n))
+            yield ({k: v[sl] for k, v in self.data.items()},
+                   self.labels[sl], self.missing[sl])
+
+    def __len__(self):
+        import math
+        return math.ceil(len(self.labels) / self.batch_size)
+
+
+def _tiny_setup(n=7, seed=0):
+    towers = (("image", tiny_tower("image")),)
+    fusion = FusionConfig(fusion_type="sum",
+                          modality_types=("language", "image"),
+                          output_dims=3, feature_dims=24, fusion_dim=8)
+    cfg = ModelConfig(towers=towers, fusion=fusion)
+    params = init_model_params(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    ids = np.ones((n, 16), np.int32)
+    ids[:, 1:6] = rng.integers(2, 90, size=(n, 5))
+    data = {"language": ids,
+            "image": rng.standard_normal((n, 3, 32, 32)).astype(np.float32)}
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    missing = rng.choice([0, 1, 4], n).astype(np.int32)
+    return cfg, params, data, labels, missing
+
+
+def test_partial_batch_loss_is_unpadded_mean():
+    # 7 rows, batch 3 -> batches of 3, 3, 1: the last batch is padded to 3
+    # inside evaluate_loader but its loss must be the 1-row mean.
+    cfg, params, data, labels, missing = _tiny_setup(n=7)
+    ev = make_eval_step(cfg)
+    loader = ListLoader(data, labels, missing, batch_size=3)
+    losses, out_labels, preds, probs = evaluate_loader(params, ev, loader)
+
+    # ground truth: eval each exact-size batch with no padding
+    expected = []
+    for d, l, m in loader:
+        out = ev(params, {k: jnp.asarray(v) for k, v in d.items()},
+                 jnp.asarray(l), jnp.asarray(m))
+        expected.append(float(out["loss"]))
+    np.testing.assert_allclose(losses, expected, rtol=1e-5)
+    assert len(preds) == 7 and len(out_labels) == 7 and probs.shape == (7, 3)
+
+
+def test_partial_batch_metrics_match_full_batch():
+    # batch_size 10 (one full batch, no padding) vs 3 (coprime with 10):
+    # identical preds/probs/labels and identical mean-per-row loss.
+    cfg, params, data, labels, missing = _tiny_setup(n=10)
+    ev = make_eval_step(cfg)
+    l_full = ListLoader(data, labels, missing, batch_size=10)
+    l_part = ListLoader(data, labels, missing, batch_size=3)
+    losses_f, lab_f, pred_f, prob_f = evaluate_loader(params, ev, l_full)
+    losses_p, lab_p, pred_p, prob_p = evaluate_loader(params, ev, l_part)
+    np.testing.assert_array_equal(lab_f, lab_p)
+    np.testing.assert_array_equal(pred_f, pred_p)
+    np.testing.assert_allclose(prob_f, prob_p, rtol=1e-5)
+    mf = compute_metrics(lab_f, pred_f, prob_f)
+    mp = compute_metrics(lab_p, pred_p, prob_p)
+    for k in ("accuracy", "f1", "auc"):
+        assert mf[k] == pytest.approx(mp[k], rel=1e-6)
+    # row-mean loss equal regardless of batching: sum(loss_i * n_i) / N
+    row_mean_f = sum(losses_f) * 10 / 10
+    row_mean_p = (losses_p[0] * 3 + losses_p[1] * 3 + losses_p[2] * 3
+                  + losses_p[3] * 1) / 10
+    assert row_mean_f == pytest.approx(row_mean_p, rel=1e-5)
+
+
+def test_eval_step_valid_mask_semantics():
+    cfg, params, data, labels, missing = _tiny_setup(n=4)
+    ev = make_eval_step(cfg)
+    jdata = {k: jnp.asarray(v) for k, v in data.items()}
+    full = ev(params, jdata, jnp.asarray(labels), jnp.asarray(missing))
+    # mask out the last 2 rows == eval of the first 2 rows alone
+    valid = jnp.asarray([True, True, False, False])
+    masked = ev(params, jdata, jnp.asarray(labels), jnp.asarray(missing),
+                valid=valid)
+    sub = ev(params, {k: v[:2] for k, v in jdata.items()},
+             jnp.asarray(labels[:2]), jnp.asarray(missing[:2]))
+    assert float(masked["loss"]) == pytest.approx(float(sub["loss"]),
+                                                  rel=1e-5)
+    assert float(masked["count"]) == 2.0
+    assert float(full["count"]) == 4.0
+
+
+_WORKER = os.path.join(os.path.dirname(__file__), "mp_eval_worker.py")
+
+
+def test_two_process_eval_gather(tmp_path):
+    """Spawns 2 CPU processes (jax.distributed over localhost); each evals
+    its own shard through evaluate_loader's multihost path; the combined
+    (labels, preds, probs, loss) must equal a single-process pass over the
+    concatenated data."""
+    import socket
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # children: 1 device each, default flags
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(pid), str(tmp_path), str(port)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    got = np.load(tmp_path / "mp_eval_out.npz")
+    ref = np.load(tmp_path / "mp_eval_ref.npz")
+    # pairing-sensitive: accuracy over (label, pred) pairs must match the
+    # single-process ground truth (the round-1 bug broke pairing for host 1)
+    m_got = compute_metrics(got["labels"], got["preds"], got["probs"])
+    m_ref = compute_metrics(ref["labels"], ref["preds"], ref["probs"])
+    for k in ("accuracy", "f1", "auc"):
+        assert m_got[k] == pytest.approx(m_ref[k], rel=1e-6), k
+    # and the per-row multiset must be identical
+    a = sorted(map(tuple, np.stack([got["labels"], got["preds"]], 1)))
+    b = sorted(map(tuple, np.stack([ref["labels"], ref["preds"]], 1)))
+    assert a == b
+    np.testing.assert_allclose(got["loss"], ref["loss"], rtol=1e-5)
