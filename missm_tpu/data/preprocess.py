@@ -4,8 +4,9 @@ fallbacks otherwise) + device-resident transforms.
 Each loader is `fn(path) -> np.ndarray` of the model's input shape for one
 sample — the pluggable `media_loaders` contract of `data.loaders`. Decoding
 runs host-side; the resize/normalize/mel math is the jitted device kernels
-of `ops.image_transforms` / `ops.melfbank` (one compile per input shape,
-cached).
+of `ops.image_transforms` / `ops.melfbank`, shape-BUCKETED (ops.bucketing)
+so arbitrary source resolutions / wav lengths share a bounded set of XLA
+programs (no per-shape recompiles in the hot path).
 
 The reference's equivalents are languagebind/*/processing_*.py; dropout-free
 determinism controls:
@@ -25,7 +26,7 @@ from ..ops.image_transforms import (
     depth_transform, image_transform, video_transform,
 )
 from ..ops.melfbank import (
-    FbankConfig, chunk_ranges, kaldi_fbank, waveform_to_model_input,
+    FbankConfig, audio_model_input, chunk_ranges, num_frames,
 )
 from . import ingest_io
 
@@ -78,9 +79,9 @@ def make_audio_loader(cfg: TowerConfig,
             from ..ops.resample import resample_sinc
             wav = resample_sinc(wav, sr, cfg.audio_sample_rate)
         wav = wav - wav.mean()
-        import jax.numpy as jnp
-        mel = kaldi_fbank(jnp.asarray(wav, jnp.float32), fb)
-        T = mel.shape[0]
+        # frame count is known host-side from the length alone, so the
+        # chunk choice never forces a device readback
+        T = num_frames(len(wav), fb)
         if T > target:
             r0, r1, r2 = chunk_ranges(T, target)
             if reference_randomness:
@@ -90,8 +91,8 @@ def make_audio_loader(cfg: TowerConfig,
                 idx = (int(r0[0]), int(r1[0]), int(r2[0]))
         else:
             idx = (0, 0, 0)
-        out = waveform_to_model_input(mel, target, idx, cfg.audio_mean,
-                                      cfg.audio_std)
+        out = audio_model_input(wav, fb, target, idx, cfg.audio_mean,
+                                cfg.audio_std)
         return np.asarray(out)
     return load
 

@@ -1,9 +1,15 @@
-"""Device-resident image / video / depth / thermal preprocessing.
+"""Device-resident image / video / depth / thermal preprocessing,
+shape-bucketed.
 
 Replaces the host-side torchvision/pytorchvideo transform stacks of the
-reference processors with jittable functions over decoded frame tensors;
-resizes are the dense-matmul resamplers of `ops.resize`, so each transform
-compiles to a couple of MXU matmuls fused with the elementwise normalize.
+reference processors with jittable functions over decoded frame tensors.
+The short-side resize + center crop (+ optional hflip) compose into ONE
+pair of dense resampling matrices built host-side ([size, H] x [size, W]),
+so each transform compiles to two MXU matmuls fused with the elementwise
+normalize — and because the source image and the weight COLUMNS are
+zero-padded to a bucket shape (ops.bucketing), arbitrarily-shaped inputs
+share a bounded set of XLA programs while producing bit-exact results
+(padded columns carry zero weight).
 
 Reference semantics (citations into /root/reference):
 - image/thermal: ToTensor (/255) -> Resize(short side 224, bicubic,
@@ -12,9 +18,12 @@ Reference semantics (citations into /root/reference):
   thermal/processing_thermal.py:15-31).
 - video: /255 -> NormalizeVideo -> ShortSideScale(224, bilinear, no
   antialias) -> CenterCrop(224) -> RandomHorizontalFlip(p=0.5)
-  (video/processing_video.py:42-53). The reference applies the random flip
-  at eval too; here the flip decision is an explicit argument so eval can be
-  pinned deterministic (see SURVEY §7 'eval randomness parity').
+  (video/processing_video.py:42-53). Resize weights sum to 1 per output
+  row, so normalize commutes with the resample exactly; the flip is folded
+  into the width weight matrix (reversed rows). The reference applies the
+  random flip at eval too; the flip decision is an explicit argument so
+  eval can be pinned deterministic (see SURVEY §7 'eval randomness
+  parity').
 - depth: /1000 m -> clip(min 0.01[, max]) -> /max (or /img.max()) -> 3-chan
   -> Resize(224, bicubic) -> CenterCrop -> Normalize
   (depth/processing_depth.py:21-56).
@@ -23,10 +32,13 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .resize import center_crop, resize2d, short_side_resize_shape
+from .bucketing import bucket_up, pad_to
+from .resize import center_crop, resize_matrix, resize2d, \
+    short_side_resize_shape
 
 OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -38,56 +50,107 @@ def _normalize(img_chw, mean=OPENAI_MEAN, std=OPENAI_STD):
     return (img_chw - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def image_transform(img_hwc_uint8, size: int = 224):
-    """[H, W, C] uint8 -> [C, size, size] float32 (image & thermal path)."""
-    x = img_hwc_uint8.astype(jnp.float32) / 255.0
+@functools.lru_cache(maxsize=4096)
+def crop_resize_weights(h: int, w: int, size: int, method: str,
+                        antialias: bool, flip: bool = False):
+    """Host-built combined short-side-resize + center-crop (+hflip)
+    matrices, zero-padded to the (bucket_up(h), bucket_up(w)) columns:
+    returns (mh [size, Hb], mw [size, Wb]) float32 numpy."""
+    th, tw = short_side_resize_shape(h, w, size)
+    mh = resize_matrix(h, th, method, antialias)
+    mw = resize_matrix(w, tw, method, antialias)
+    top = int(round((th - size) / 2.0))
+    left = int(round((tw - size) / 2.0))
+    mh = mh[top:top + size]
+    mw = mw[left:left + size]
+    if flip:
+        mw = mw[::-1]
+    return (pad_to(mh, (None, bucket_up(h))),
+            pad_to(mw, (None, bucket_up(w))))
+
+
+@jax.jit
+def _image_kernel(img_pad, mh, mw):
+    """[Hb, Wb, C] uint8, [S, Hb], [S, Wb] -> [C, S, S] normalized f32."""
+    x = img_pad.astype(jnp.float32) / 255.0
     x = x.transpose(2, 0, 1)
-    h, w = x.shape[-2:]
-    x = resize2d(x, short_side_resize_shape(h, w, size), "bicubic",
-                 antialias=True)
-    x = center_crop(x, size)
-    return _normalize(x)
+    y = jnp.einsum("oh,chw->cow", mh, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,cow->cop", mw, y,
+                   preferred_element_type=jnp.float32)
+    return _normalize(y)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "flip"))
+def image_transform(img_hwc_uint8, size: int = 224):
+    """[H, W, C] uint8 -> [C, size, size] float32 (image & thermal path).
+    One compile per (bucket_h, bucket_w); exact for any source shape."""
+    img = np.asarray(img_hwc_uint8)
+    h, w = img.shape[:2]
+    mh, mw = crop_resize_weights(h, w, size, "bicubic", True)
+    img_p = pad_to(img, (mh.shape[1], mw.shape[1], None))
+    return _image_kernel(jnp.asarray(img_p), jnp.asarray(mh),
+                         jnp.asarray(mw))
+
+
+@jax.jit
+def _video_kernel(frames_pad, mh, mw):
+    """[T, Hb, Wb, C] uint8, [S, Hb], [S, Wb] -> [C, T, S, S] f32."""
+    x = frames_pad.astype(jnp.float32) / 255.0
+    x = x.transpose(3, 0, 1, 2)                 # C T H W
+    x = _normalize(x.transpose(1, 0, 2, 3)).transpose(1, 0, 2, 3)
+    y = jnp.einsum("oh,cthw->ctow", mh, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,ctow->ctop", mw, y,
+                   preferred_element_type=jnp.float32)
+    return y
+
+
 def video_transform(frames_thwc_uint8, size: int = 224, flip: bool = False):
     """[T, H, W, C] uint8 -> [C, T, size, size] float32.
 
-    Matches the decord-backend transform order: normalize before the
-    bilinear short-side scale (weights sum to 1, so this commutes, but the
-    order is kept for bit-faithfulness)."""
-    x = frames_thwc_uint8.astype(jnp.float32) / 255.0
-    x = x.transpose(3, 0, 1, 2)                 # C T H W
-    x = _normalize(x.transpose(1, 0, 2, 3)).transpose(1, 0, 2, 3)
-    h, w = x.shape[-2:]
-    x = resize2d(x, short_side_resize_shape(h, w, size), "bilinear",
-                 antialias=False)
-    x = center_crop(x, size)
-    if flip:
-        x = x[..., ::-1]
-    return x
+    decord-backend transform order (normalize before the bilinear
+    short-side scale; exact commute since weight rows sum to 1)."""
+    frames = np.asarray(frames_thwc_uint8)
+    h, w = frames.shape[1:3]
+    mh, mw = crop_resize_weights(h, w, size, "bilinear", False, flip=flip)
+    frames_p = pad_to(frames, (None, mh.shape[1], mw.shape[1], None))
+    return _video_kernel(jnp.asarray(frames_p), jnp.asarray(mh),
+                         jnp.asarray(mw))
 
 
-@functools.partial(jax.jit, static_argnames=("size", "max_depth"))
+@jax.jit
+def _depth_kernel(depth_pad, valid, mh, mw, max_depth):
+    """[Hb, Wb] f32 raw mm, [Hb, Wb] bool, weights -> [3, S, S] f32.
+    max_depth is a traced scalar; 0 selects the per-image max (the
+    reference's DepthNorm max_depth=0 branch)."""
+    d = depth_pad / 1000.0
+    d = jnp.maximum(d, 0.01)
+    img_max = jnp.max(jnp.where(valid, d, 0.0))
+    denom = jnp.where(max_depth > 0, max_depth, img_max)
+    d = jnp.where(max_depth > 0, jnp.minimum(d, max_depth), d) / denom
+    x = jnp.broadcast_to(d[None], (3,) + d.shape)
+    y = jnp.einsum("oh,chw->cow", mh, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,cow->cop", mw, y,
+                   preferred_element_type=jnp.float32)
+    return _normalize(y)
+
+
 def depth_transform(depth_hw, size: int = 224, max_depth: float = 10.0,
                     min_depth: float = 0.01):
     """[H, W] float32 (raw sensor units, mm) -> [3, size, size] float32."""
-    d = depth_hw.astype(jnp.float32) / 1000.0
-    d = jnp.maximum(d, min_depth)
-    if max_depth != 0:
-        d = jnp.minimum(d, max_depth) / max_depth
-    else:
-        d = d / jnp.max(d)
-    x = jnp.broadcast_to(d[None], (3,) + d.shape)
-    x = resize2d(x, short_side_resize_shape(*d.shape, size), "bicubic",
-                 antialias=True)
-    x = center_crop(x, size)
-    return _normalize(x)
+    del min_depth  # fixed 0.01 (reference DepthNorm)
+    raw = np.asarray(depth_hw, np.float32)
+    h, w = raw.shape
+    mh, mw = crop_resize_weights(h, w, size, "bicubic", True)
+    hb, wb = mh.shape[1], mw.shape[1]
+    valid = pad_to(np.ones((h, w), bool), (hb, wb))
+    return _depth_kernel(jnp.asarray(pad_to(raw, (hb, wb))),
+                         jnp.asarray(valid), jnp.asarray(mh),
+                         jnp.asarray(mw), jnp.float32(max_depth))
 
 
 def uniform_frame_indices(duration: int, num_frames: int):
     """linspace frame sampling over the full clip — decord/opencv backends
     (reference video/processing_video.py:92,100)."""
-    import numpy as np
     return np.linspace(0, duration - 1, num_frames, dtype=int)

@@ -152,6 +152,51 @@ def waveform_to_model_input(mel, target_length: int, chunk_indices,
     return (fusion - audio_mean) / (audio_std * 2.0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "target_length"))
+def _audio_kernel(wav_pad, n_true, offsets, cfg: FbankConfig,
+                  target_length: int, audio_mean, audio_std):
+    """Fused bucketed fbank -> chunk/tile -> normalize.
+
+    wav_pad: [Nb] float32, zero-padded to a bucket length; n_true: the real
+    sample count (traced); offsets: [3] int32 chunk starts (host-chosen,
+    used only when n_frames(n_true) > target_length).
+
+    Exactness under padding: frame i only touches samples
+    [i*shift, i*shift + window), so frames below m_true = n_frames(n_true)
+    are identical to the unpadded computation, and the output gather below
+    never selects a row >= m_true (long path: chunk_ranges guarantees
+    offset + target <= m_true; short path: indices are mod m_true).
+    """
+    mel = kaldi_fbank(wav_pad, cfg)                    # [m_bucket, bins]
+    m_true = 1 + (n_true - cfg.window_size) // cfg.window_shift
+
+    ar = jnp.arange(target_length)
+    idx_long = offsets[:, None] + ar[None, :]          # [3, target]
+    idx_short = jnp.broadcast_to(
+        (ar % jnp.maximum(m_true, 1))[None, :], (3, target_length))
+    idx = jnp.where(m_true > target_length, idx_long, idx_short)
+    fusion = mel[idx]                                  # [3, target, bins]
+    fusion = fusion.transpose(0, 2, 1)                 # [3, bins, target]
+    return (fusion - audio_mean) / (audio_std * 2.0)
+
+
+def audio_model_input(waveform: "np.ndarray", cfg: FbankConfig,
+                      target_length: int, chunk_indices,
+                      audio_mean: float, audio_std: float):
+    """Bucketed host entry: [n] float32 waveform -> [3, bins, target].
+    One XLA program per waveform-length bucket (ops.bucketing), exact for
+    any true length. chunk_indices as in `waveform_to_model_input`."""
+    from .bucketing import WAVEFORM_LADDER, bucket_up, pad_to
+    wav = np.asarray(waveform, np.float32)
+    n = wav.shape[0]
+    nb = bucket_up(max(n, cfg.window_size), WAVEFORM_LADDER)
+    wav_p = pad_to(wav, (nb,))
+    return _audio_kernel(jnp.asarray(wav_p), jnp.int32(n),
+                         jnp.asarray(chunk_indices, jnp.int32), cfg,
+                         target_length, jnp.float32(audio_mean),
+                         jnp.float32(audio_std))
+
+
 def chunk_ranges(total_frames: int, target_length: int):
     """The three np.array_split ranges the reference samples chunk starts
     from (audio/processing_audio.py:60-68)."""
