@@ -362,8 +362,52 @@ int mi_decode_media_audio(const char* path, float** data, long* n,
 // Video via FFmpeg: linspace frame sampling, RGB24 output
 // ---------------------------------------------------------------------------
 
-int mi_decode_video(const char* path, int num_frames, uint8_t** data,
-                    int* t_out, int* h_out, int* w_out) {
+static int64_t count_stream_frames(AVFormatContext* fmt, int vs) {
+  // frame count: header if available, else a packet-count pass (1 pkt ~ 1
+  // frame for the codecs in scope), like decord's len(VideoReader)
+  int64_t total = fmt->streams[vs]->nb_frames;
+  if (total <= 0) {
+    AVPacket pkt;
+    total = 0;
+    while (av_read_frame(fmt, &pkt) >= 0) {
+      if (pkt.stream_index == vs) ++total;
+      av_packet_unref(&pkt);
+    }
+    av_seek_frame(fmt, vs, 0, AVSEEK_FLAG_BACKWARD);
+  }
+  return total;
+}
+
+// Total frame count + average fps — the metadata the pytorchvideo-backend
+// sampling path needs host-side (EncodedVideo.duration equivalent).
+int mi_video_frame_count(const char* path, int64_t* total_out,
+                         double* fps_out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vs < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  int64_t total = count_stream_frames(fmt, vs);
+  AVRational r = fmt->streams[vs]->avg_frame_rate;
+  *fps_out = (r.den > 0) ? av_q2d(r) : 0.0;
+  avformat_close_input(&fmt);
+  if (total <= 0) return -1;
+  *total_out = total;
+  return 0;
+}
+
+// Decode the frames at the given SORTED (duplicates allowed) decode-order
+// indices. Sequential decode, no seeking — matches decord.get_batch
+// semantics for the containers in scope.
+int mi_decode_video_indices(const char* path, const int64_t* want_idx,
+                            int num_frames, uint8_t** data, int* t_out,
+                            int* h_out, int* w_out) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
   if (avformat_find_stream_info(fmt, nullptr) < 0) {
@@ -376,23 +420,7 @@ int mi_decode_video(const char* path, int num_frames, uint8_t** data,
     return -1;
   }
   AVStream* stream = fmt->streams[vs];
-
-  // frame count: header if available, else a packet-count pass (1 pkt ~ 1
-  // frame for the codecs in scope), like decord's len(VideoReader)
-  int64_t total = stream->nb_frames;
-  if (total <= 0) {
-    AVPacket pkt;
-    total = 0;
-    while (av_read_frame(fmt, &pkt) >= 0) {
-      if (pkt.stream_index == vs) ++total;
-      av_packet_unref(&pkt);
-    }
-    av_seek_frame(fmt, vs, 0, AVSEEK_FLAG_BACKWARD);
-  }
-  if (total <= 0) {
-    avformat_close_input(&fmt);
-    return -1;
-  }
+  std::vector<int64_t> want(want_idx, want_idx + num_frames);
 
   const AVCodec* codec = avcodec_find_decoder(stream->codecpar->codec_id);
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
@@ -401,15 +429,6 @@ int mi_decode_video(const char* path, int num_frames, uint8_t** data,
     avcodec_free_context(&ctx);
     avformat_close_input(&fmt);
     return -1;
-  }
-
-  // linspace(0, total-1, num_frames) rounded like np.linspace(...,dtype=int)
-  std::vector<int64_t> want(num_frames);
-  for (int i = 0; i < num_frames; ++i) {
-    double v = (num_frames == 1)
-                   ? 0.0
-                   : (double)i * (double)(total - 1) / (num_frames - 1);
-    want[i] = (int64_t)v;  // truncation == numpy int cast
   }
 
   const int W = ctx->width, H = ctx->height;
@@ -475,6 +494,24 @@ int mi_decode_video(const char* path, int num_frames, uint8_t** data,
   *h_out = H;
   *w_out = W;
   return 0;
+}
+
+// decord/opencv-backend sampling: linspace(0, total-1, num_frames) rounded
+// like np.linspace(..., dtype=int) (reference video/processing_video.py:92,100)
+int mi_decode_video(const char* path, int num_frames, uint8_t** data,
+                    int* t_out, int* h_out, int* w_out) {
+  int64_t total;
+  double fps;
+  if (mi_video_frame_count(path, &total, &fps) != 0) return -1;
+  std::vector<int64_t> want(num_frames);
+  for (int i = 0; i < num_frames; ++i) {
+    double v = (num_frames == 1)
+                   ? 0.0
+                   : (double)i * (double)(total - 1) / (num_frames - 1);
+    want[i] = (int64_t)v;  // truncation == numpy int cast
+  }
+  return mi_decode_video_indices(path, want.data(), num_frames, data, t_out,
+                                 h_out, w_out);
 }
 
 }  // extern "C"

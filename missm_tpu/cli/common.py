@@ -32,9 +32,14 @@ def build_tower_cfgs(args) -> Dict[str, TowerConfig]:
         raise ValueError("need at least one non-language modality (the "
                          "language tower aliases the last vision tower's "
                          "text encoder, as in the reference)")
-    if args.model_scale == "large":
-        return {m: languagebind_large(m) for m in mods}
-    return {m: tiny_tower(m) for m in mods}
+    build = languagebind_large if args.model_scale == "large" else tiny_tower
+    cfgs = {m: build(m) for m in mods}
+    backend = getattr(args, "video_decode_backend", None)
+    if backend and "video" in cfgs:
+        import dataclasses
+        cfgs["video"] = dataclasses.replace(cfgs["video"],
+                                            video_decode_backend=backend)
+    return cfgs
 
 
 def build_model_config(args, num_classes: int) -> ModelConfig:

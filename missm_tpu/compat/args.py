@@ -50,6 +50,10 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--vocab_file", type=str, default=None)
     p.add_argument("--merges_file", type=str, default=None)
     p.add_argument("--reference_randomness", type=_bool, default=False)
+    p.add_argument("--video_decode_backend", type=str, default="decord",
+                   choices=["decord", "opencv", "pytorchvideo"],
+                   help="frame-sampling semantics (decode is native FFmpeg "
+                        "either way; reference configuration_video.py:205)")
     p.add_argument("--remat", type=_remat, default=True,
                    help="true (full per-block remat), false, or save_attn "
                         "(keep attention outputs; ~3-4%% faster training, "

@@ -106,7 +106,9 @@ class TowerConfig:
     audio_mean: float = -4.2677393
     audio_std: float = 4.5689974
     max_depth: float = 10.0
-    video_decode_backend: str = "ffmpeg"
+    # sampling semantics: decord (reference default,
+    # configuration_video.py:205) | opencv | pytorchvideo
+    video_decode_backend: str = "decord"
 
 
 def languagebind_large(modality: str) -> TowerConfig:

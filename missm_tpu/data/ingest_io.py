@@ -77,6 +77,12 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     return data, sr
 
 
+_NO_NATIVE = (
+    "video decode requires the native ingest library; build it with "
+    "`make -C cpp` (FFmpeg/libav). For tests, inject a synthetic "
+    "video loader.")
+
+
 def decode_video(path: str, num_frames: int) -> np.ndarray:
     """-> [T, H, W, 3] uint8, frames sampled by linspace over the clip
     (reference video/processing_video.py:88-110). Requires the C++ ingest
@@ -86,7 +92,26 @@ def decode_video(path: str, num_frames: int) -> np.ndarray:
         arr = n.decode_video(path, num_frames)
         if arr is not None:
             return arr
-    raise RuntimeError(
-        "video decode requires the native ingest library; build it with "
-        "`make -C cpp` (FFmpeg/libav). For tests, inject a synthetic "
-        "video loader.")
+    raise RuntimeError(_NO_NATIVE)
+
+
+def video_frame_count(path: str) -> Tuple[int, float]:
+    """-> (total frames, average fps) — the pytorchvideo-backend sampling
+    metadata (EncodedVideo.duration equivalent)."""
+    n = _native()
+    if n is not None:
+        out = n.video_frame_count(path)
+        if out is not None:
+            return out
+    raise RuntimeError(_NO_NATIVE)
+
+
+def decode_video_indices(path: str, indices) -> np.ndarray:
+    """-> [len(indices), H, W, 3] uint8 at the given sorted decode-order
+    frame indices (duplicates allowed)."""
+    n = _native()
+    if n is not None:
+        arr = n.decode_video_indices(path, indices)
+        if arr is not None:
+            return arr
+    raise RuntimeError(_NO_NATIVE)

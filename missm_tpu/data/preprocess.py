@@ -53,11 +53,39 @@ def make_depth_loader(size: int = 224, max_depth: float = 10.0) -> Callable:
 
 def make_video_loader(num_frames: int = 8, size: int = 224,
                       reference_randomness: bool = False,
-                      rng: Optional[np.random.Generator] = None) -> Callable:
+                      rng: Optional[np.random.Generator] = None,
+                      backend: str = "decord",
+                      clip_start_sec: float = 0.0,
+                      clip_end_sec: Optional[float] = None) -> Callable:
+    """Backend selects the reference's SAMPLING semantics (decode is always
+    our FFmpeg ingest):
+    - 'decord' / 'opencv' / 'ffmpeg': np.linspace(0, total-1, T) frame ids
+      (processing_video.py:92,100) — one sequential decode pass.
+    - 'pytorchvideo': EncodedVideo.get_clip(start, end) then
+      UniformTemporalSubsample (processing_video.py:27-40,84-90): the frame
+      window [start*fps, end*fps] subsampled with torch-linspace rounding
+      (ops.image_transforms.uniform_temporal_subsample_indices).
+    """
     rng = rng or np.random.default_rng(0)
+    if backend not in ("decord", "opencv", "ffmpeg", "pytorchvideo"):
+        raise NameError(  # reference error type, processing_video.py:67
+            "video_decode_backend should specify in "
+            "(pytorchvideo, decord, opencv)")
 
     def load(path):
-        frames = ingest_io.decode_video(path, num_frames)  # [T, H, W, 3] u8
+        if backend == "pytorchvideo":
+            from ..ops.image_transforms import \
+                uniform_temporal_subsample_indices
+            total, fps = ingest_io.video_frame_count(path)
+            lo, hi = 0, total - 1
+            if clip_end_sec is not None and fps > 0:
+                lo = min(max(int(np.ceil(clip_start_sec * fps)), 0), hi)
+                hi = min(int(np.floor(clip_end_sec * fps)), hi)
+            idx = lo + uniform_temporal_subsample_indices(hi - lo + 1,
+                                                          num_frames)
+            frames = ingest_io.decode_video_indices(path, idx)
+        else:
+            frames = ingest_io.decode_video(path, num_frames)  # [T,H,W,3]
         flip = bool(rng.integers(0, 2)) if reference_randomness else False
         return np.asarray(video_transform(frames, size, flip=flip))
     return load
@@ -113,7 +141,8 @@ def make_media_loaders(tower_cfgs: Dict[str, TowerConfig],
         elif m == "video":
             out[m] = make_video_loader(cfg.vision.num_frames, size,
                                        reference_randomness=
-                                       reference_randomness, rng=rng)
+                                       reference_randomness, rng=rng,
+                                       backend=cfg.video_decode_backend)
         elif m == "audio":
             out[m] = make_audio_loader(cfg, reference_randomness=
                                        reference_randomness, rng=rng)

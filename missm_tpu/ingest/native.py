@@ -68,6 +68,16 @@ def _load():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        lib.mi_decode_video_indices.restype = ctypes.c_int
+        lib.mi_decode_video_indices.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.mi_video_frame_count.restype = ctypes.c_int
+        lib.mi_video_frame_count.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double)]
         lib.mi_decode_media_audio.restype = ctypes.c_int
         lib.mi_decode_media_audio.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
@@ -152,6 +162,43 @@ def decode_media_audio(path: str) -> Optional[Tuple[np.ndarray, int]]:
     finally:
         lib.mi_free(data)
     return arr, sr.value
+
+
+def video_frame_count(path: str) -> Optional[Tuple[int, float]]:
+    """-> (total decode-order frames, average fps)."""
+    lib = _load()
+    if lib is None:
+        return None
+    total = ctypes.c_int64()
+    fps = ctypes.c_double()
+    if lib.mi_video_frame_count(path.encode(), ctypes.byref(total),
+                                ctypes.byref(fps)) != 0:
+        return None
+    return total.value, fps.value
+
+
+def decode_video_indices(path: str, indices) -> Optional[np.ndarray]:
+    """Decode the frames at the given sorted decode-order indices
+    (duplicates allowed) -> [len(indices), H, W, 3] uint8."""
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    t = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.mi_decode_video_indices(
+            path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx), ctypes.byref(data), ctypes.byref(t), ctypes.byref(h),
+            ctypes.byref(w)) != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(
+            data, shape=(t.value, h.value, w.value, 3)).copy()
+    finally:
+        lib.mi_free(data)
+    return arr
 
 
 def decode_video(path: str, num_frames: int) -> Optional[np.ndarray]:

@@ -154,3 +154,22 @@ def uniform_frame_indices(duration: int, num_frames: int):
     """linspace frame sampling over the full clip — decord/opencv backends
     (reference video/processing_video.py:92,100)."""
     return np.linspace(0, duration - 1, num_frames, dtype=int)
+
+
+def uniform_temporal_subsample_indices(t: int, num_frames: int):
+    """pytorchvideo `UniformTemporalSubsample` sampling — the
+    pytorchvideo-backend path (reference video/processing_video.py:31,
+    get_clip + subsample). Bit-faithful to
+    `torch.linspace(0, t-1, n).clamp(0, t-1).long()`: torch's CPU linspace
+    computes from BOTH ends in float32 (start + i*step for i < n//2,
+    end - (n-1-i)*step otherwise), which truncates differently from
+    np.linspace near integer boundaries."""
+    if num_frames == 1:
+        return np.zeros(1, np.int64)
+    step = np.float32((t - 1) / (num_frames - 1))
+    i = np.arange(num_frames)
+    lo = (np.float32(0) + step * i.astype(np.float32)).astype(np.float32)
+    hi = (np.float32(t - 1)
+          - step * (num_frames - 1 - i).astype(np.float32)).astype(np.float32)
+    vals = np.where(i < num_frames // 2, lo, hi)
+    return np.clip(vals, 0, t - 1).astype(np.int64)
