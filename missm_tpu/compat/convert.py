@@ -141,10 +141,21 @@ def _vision_params(sd, cfg: VisionConfig, prefix="vision_model."):
         blocks.append(b)
 
     patch_w = sd[prefix + "embeddings.patch_embedding.weight"]
-    if patch_w.ndim == 5:  # Conv3d tube embedding (D, C, tube, p, p)
-        patch_w = patch_w.reshape(patch_w.shape[0], -1).T
-    else:  # Conv2d (D, C, p, p)
-        patch_w = patch_w.reshape(patch_w.shape[0], -1).T
+    if cfg.use_tube3d and patch_w.ndim == 4:
+        # expand3d inflation of a standard Conv2d checkpoint into the tube-3D
+        # Conv3d (video/modeling_video.py:80-104): the 2-D weights land in
+        # tube slot 0, later slots are zero
+        zeros = np.zeros_like(patch_w[:, :, None])
+        patch_w = np.concatenate(
+            [patch_w[:, :, None]] + [zeros] * (cfg.tube_size - 1), axis=2)
+    # Conv3d (D, C, tube, p, p) or Conv2d (D, C, p, p) -> one matmul weight
+    patch_w = patch_w.reshape(patch_w.shape[0], -1).T
+
+    cls = _np(sd[prefix + "embeddings.class_embedding"])
+    if cfg.use_tube3d and cls.ndim == 1:
+        # per-tube CLS tokens: repeat(num_frames // tube_size, 1)
+        # (video/modeling_video.py:103)
+        cls = np.tile(cls[None], (cfg.num_frames // cfg.tube_size, 1))
 
     pos = sd[prefix + "embeddings.position_embedding.weight"]
     if pos.shape[0] != cfg.num_patches + 1:
@@ -154,8 +165,7 @@ def _vision_params(sd, cfg: VisionConfig, prefix="vision_model."):
     pre_key = (prefix + "pre_layrnorm" if prefix + "pre_layrnorm.weight" in sd
                else prefix + "pre_layernorm")
     return {
-        "class_embedding": jnp.asarray(
-            sd[prefix + "embeddings.class_embedding"]),
+        "class_embedding": jnp.asarray(cls),
         "patch_embedding": {"w": jnp.asarray(patch_w)},
         "position_embedding": jnp.asarray(pos),
         "pre_ln": _ln(sd, pre_key),
