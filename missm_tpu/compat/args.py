@@ -26,8 +26,8 @@ def _bool(v):
 
 
 def _remat(v):
-    if str(v) == "save_attn":
-        return "save_attn"
+    if str(v) in ("save_attn", "save_attn_mlp", "save_most"):
+        return str(v)
     return _bool(v)
 
 
@@ -55,9 +55,10 @@ def _tpu_extras(p: argparse.ArgumentParser):
                    help="frame-sampling semantics (decode is native FFmpeg "
                         "either way; reference configuration_video.py:205)")
     p.add_argument("--remat", type=_remat, default=True,
-                   help="true (full per-block remat), false, or save_attn "
+                   help="true (full per-block remat), false, save_attn "
                         "(keep attention outputs; ~3-4%% faster training, "
-                        "+770 MB at ViT-L b64)")
+                        "+770 MB at ViT-L b64), or save_most (save all but "
+                        "the 4d-wide MLP tensors; fastest if it fits)")
     p.add_argument("--bf16", type=_bool, default=True)
     p.add_argument("--distributed", type=_bool, default=False,
                    help="multi-host: jax.distributed.initialize() from env "

@@ -17,10 +17,12 @@ and runs a G-batched dot.
 
 VMEM per step (G=4, N=257, hd=64): qkv+out ~0.5 MB + scores f32 ~1.1 MB.
 
-Numerics match the einsum path (f32 accumulation + f32 softmax); the
-backward pass is a custom VJP with the standard attention gradient as XLA
-einsums (scores materialize in bwd only — fuse later if training becomes
-attention-bound).
+Numerics match the einsum path (f32 accumulation + f32 softmax). The
+backward pass is a custom VJP: on TPU a second Pallas kernel recomputes
+the scores in VMEM and produces (dq, dk, dv) in one pass — the f32
+[B*H, N, N] score/probability HBM round-trips of the XLA einsum gradient
+disappear (they re-paid in bwd exactly the bandwidth the forward kernel
+eliminated). Elsewhere the einsum gradient is used.
 """
 from __future__ import annotations
 
@@ -30,6 +32,76 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_diag_mask_f32(s, block_diag):
+    n = s.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_diag
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_diag
+    return jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
+
+
+def _softmax_f32(s):
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=2, keepdims=True)
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *,
+                        pairs: int, head_dim: int, scale: float,
+                        batch_block: int, block_diag: int = 0):
+    # Head-PAIR packing: each scratch row holds two heads' 64-lane columns
+    # as one 128-lane tile, so every VMEM copy is lane-aligned (the 64-lane
+    # slices of the unpacked kernel each cost a relayout — measured ~22 ms
+    # of the 73 ms b64 ViT-L step). Per-head separation happens inside the
+    # dots: zero one parity's lanes on ONE operand and contract over the
+    # full 128 lanes — the zeros contribute nothing, and the K=128 dot runs
+    # the MXU at full contraction width (the K=64 dots ran it half-empty),
+    # so the doubled dot count costs the same MXU passes.
+    pw = 2 * head_dim
+    n = qs.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1)
+    lo = (lane < head_dim)[None]
+    for b in range(batch_block):
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            qs[p] = q_ref[b, :, sl]
+            ks[p] = k_ref[b, :, sl]
+            vs[p] = v_ref[b, :, sl]
+
+        q_all, k_all, v_all = qs[...], ks[...], vs[...]
+        zero = jnp.zeros((), q_all.dtype)
+        dn_qk = (((2,), (2,)), ((0,), (0,)))
+        s_lo = jax.lax.dot_general(
+            jnp.where(lo, q_all, zero), k_all, dn_qk,
+            preferred_element_type=jnp.float32) * scale    # [P, N, N] f32
+        s_hi = jax.lax.dot_general(
+            jnp.where(lo, zero, q_all), k_all, dn_qk,
+            preferred_element_type=jnp.float32) * scale
+        if block_diag:
+            s_lo = _block_diag_mask_f32(s_lo, block_diag)
+            s_hi = _block_diag_mask_f32(s_hi, block_diag)
+        # Deferred normalization: dot the UNnormalized exp(s - max) against
+        # V and divide the [N, 2hd] result by the row sums afterwards — the
+        # softmax division runs over N*2hd elements instead of N*N (and in
+        # f32 after the f32-accumulated dot, so it's no less accurate).
+        m_lo = jnp.max(s_lo, axis=2, keepdims=True)
+        m_hi = jnp.max(s_hi, axis=2, keepdims=True)
+        e_lo = jnp.exp(s_lo - m_lo)
+        e_hi = jnp.exp(s_hi - m_hi)
+        den_lo = jnp.sum(e_lo, axis=2, keepdims=True)      # [P, N, 1] f32
+        den_hi = jnp.sum(e_hi, axis=2, keepdims=True)
+
+        dn_av = (((2,), (1,)), ((0,), (0,)))
+        o = jax.lax.dot_general(
+            e_lo.astype(q_all.dtype), jnp.where(lo, v_all, zero), dn_av,
+            preferred_element_type=jnp.float32) / den_lo
+        o = o + jax.lax.dot_general(
+            e_hi.astype(q_all.dtype), jnp.where(lo, zero, v_all), dn_av,
+            preferred_element_type=jnp.float32) / den_hi   # [P, N, 2hd]
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            o_ref[b, :, sl] = o[p].astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
@@ -74,7 +146,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
 
 def fused_attention(q, k, v, num_heads: int, group: int | None = None,
                     batch_block: int = 1, block_diag: int = 0,
-                    interpret: bool = False):
+                    packed: bool | None = None, interpret: bool = False):
     """q, k, v: [B, N, D_model] (natural projection layout) ->
     out [B, N, D_model]. Scale (head_dim**-0.5) applied inside.
 
@@ -110,18 +182,29 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         chosen = max(candidates) if candidates else min(lane_valid)
     group = chosen
     bb = math.gcd(B, batch_block)
-    kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
-                               scale=hd ** -0.5, batch_block=bb,
-                               block_diag=block_diag)
+    # Pair-packed kernel whenever heads come in lane-aligned pairs
+    # (hd=64 -> 128-lane tiles): no 64-lane relayout copies, full-width
+    # MXU contractions. Fall back to the per-head kernel otherwise.
+    if packed is None:
+        packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
+    if packed:
+        kernel = functools.partial(_attn_kernel_packed, pairs=group // 2,
+                                   head_dim=hd, scale=hd ** -0.5,
+                                   batch_block=bb, block_diag=block_diag)
+    else:
+        kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
+                                   scale=hd ** -0.5, batch_block=bb,
+                                   block_diag=block_diag)
     spec = pl.BlockSpec((bb, N, group * hd), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
+    scratch_shape = ((group // 2, N, 2 * hd) if packed else (group, N, hd))
     return pl.pallas_call(
         kernel,
         grid=(B // bb, num_heads // group),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((group, N, hd), q.dtype)] * 3,
+        scratch_shapes=[pltpu.VMEM(scratch_shape, q.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * N * N * hd,
             bytes_accessed=4 * B * N * D * q.dtype.itemsize,
@@ -129,6 +212,169 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         ),
         interpret=interpret,
     )(q, k, v)
+
+
+def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                            dv_ref, qs, ks, vs, gs, *, pairs: int,
+                            head_dim: int, scale: float, block_diag: int = 0):
+    """Head-pair-packed backward (see _attn_kernel_packed): lane-aligned
+    128-wide staging, per-head separation by zero-masking one operand of
+    each dot. Masking rules per quantity (head h of a pair):
+      s_h   = dot(q masked to h, k_full)        — zeros kill the other head
+      dp_h  = dot(g masked to h, v_full)
+      dv_h  = dot(p_h^T, g masked to h)         — other head's lanes -> 0
+      dq_h  = dot(ds_h, k masked to h)          — ditto
+      dk_h  = dot(ds_h^T, q masked to h)
+    and each pair's two results sum into one aligned 128-lane write."""
+    pw = 2 * head_dim
+    n = qs.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1)
+    lo_m = (lane < head_dim)[None]
+    for p in range(pairs):
+        sl = slice(p * pw, (p + 1) * pw)
+        qs[p] = q_ref[0, :, sl]
+        ks[p] = k_ref[0, :, sl]
+        vs[p] = v_ref[0, :, sl]
+        gs[p] = g_ref[0, :, sl]
+
+    q_all, k_all, v_all, g_all = qs[...], ks[...], vs[...], gs[...]
+    zero = jnp.zeros((), q_all.dtype)
+    dn_qk = (((2,), (2,)), ((0,), (0,)))   # contract lanes      -> [P, N, N]
+    dn_av = (((2,), (1,)), ((0,), (0,)))   # contract k-index    -> [P, N, pw]
+    dn_t = (((1,), (1,)), ((0,), (0,)))    # contract q-index    -> [P, N, pw]
+
+    dq = dk = dv = None
+    for mask in (lo_m, ~lo_m):
+        qm = jnp.where(mask, q_all, zero)
+        km = jnp.where(mask, k_all, zero)
+        gm = jnp.where(mask, g_all, zero)
+        s = jax.lax.dot_general(qm, k_all, dn_qk,
+                                preferred_element_type=jnp.float32) * scale
+        if block_diag:
+            s = _block_diag_mask_f32(s, block_diag)
+        prob = _softmax_f32(s)                             # [P, N, N] f32
+        pb = prob.astype(q_all.dtype)
+        dv_h = jax.lax.dot_general(pb, gm, dn_t,
+                                   preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gm, v_all, dn_qk,
+                                 preferred_element_type=jnp.float32)
+        ds = (prob * (dp - jnp.sum(dp * prob, axis=2, keepdims=True))
+              ).astype(q_all.dtype)
+        dq_h = jax.lax.dot_general(ds, km, dn_av,
+                                   preferred_element_type=jnp.float32) * scale
+        dk_h = jax.lax.dot_general(ds, qm, dn_t,
+                                   preferred_element_type=jnp.float32) * scale
+        dq = dq_h if dq is None else dq + dq_h
+        dk = dk_h if dk is None else dk + dk_h
+        dv = dv_h if dv is None else dv + dv_h
+
+    for p in range(pairs):
+        sl = slice(p * pw, (p + 1) * pw)
+        dq_ref[0, :, sl] = dq[p].astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk[p].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv[p].astype(dv_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     qs, ks, vs, gs, *, group: int, head_dim: int,
+                     scale: float, block_diag: int = 0):
+    """One (batch, head-group) grid step: recompute P from q/k in VMEM,
+    then the standard attention gradient — 5 G-batched dots, everything
+    resident in VMEM (no [N, N] HBM traffic)."""
+    for g in range(group):
+        sl = slice(g * head_dim, (g + 1) * head_dim)
+        qs[g] = q_ref[0, :, sl]
+        ks[g] = k_ref[0, :, sl]
+        vs[g] = v_ref[0, :, sl]
+        gs[g] = g_ref[0, :, sl]
+
+    s = jax.lax.dot_general(
+        qs[...], ks[...], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale       # [G, N, N] f32
+    if block_diag:
+        n = s.shape[1]
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_diag
+        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_diag
+        s = jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=2, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=2, keepdims=True)             # [G, N, N] f32
+    pb = p.astype(qs.dtype)
+
+    # dv[k,d] = sum_q P[q,k] g[q,d]
+    dv = jax.lax.dot_general(
+        pb, gs[...], dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [G, N, hd]
+    # dP[q,k] = g[q,d] v[k,d]
+    dp = jax.lax.dot_general(
+        gs[...], vs[...], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [G, N, N]
+    ds = (p * (dp - jnp.sum(dp * p, axis=2, keepdims=True))).astype(qs.dtype)
+    # dq[q,d] = dS[q,k] k[k,d] * scale ; dk[k,d] = dS[q,k] q[q,d] * scale
+    dq = jax.lax.dot_general(
+        ds, ks[...], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, qs[...], dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+
+    for g in range(group):
+        sl = slice(g * head_dim, (g + 1) * head_dim)
+        dq_ref[0, :, sl] = dq[g].astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk[g].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv[g].astype(dv_ref.dtype)
+
+
+def fused_attention_bwd(q, k, v, g, num_heads: int, block_diag: int = 0,
+                        group: int | None = None, packed: bool | None = None,
+                        interpret: bool = False):
+    """(dq, dk, dv) for the fused forward, all-VMEM. Group selection is
+    stricter than forward: two f32 [G, N, N] live values (P and dP) plus
+    seven I/O blocks must fit."""
+    B, N, D = q.shape
+    hd = D // num_heads
+
+    def _lane_ok(d):
+        return (d * hd) % 128 == 0 or d == num_heads
+
+    def _fits(d):
+        return d * (2 * N * N * 4 + 16 * N * hd) <= 8 * 1024 * 1024
+
+    if group is None:
+        divisors = [d for d in range(1, num_heads + 1) if num_heads % d == 0]
+        lane_valid = [d for d in divisors if _lane_ok(d)]
+        cands = [d for d in lane_valid if _fits(d) and d <= 8]
+        group = max(cands) if cands else min(lane_valid)
+
+    if packed is None:
+        packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
+    if packed:
+        kernel = functools.partial(_attn_bwd_kernel_packed,
+                                   pairs=group // 2, head_dim=hd,
+                                   scale=hd ** -0.5, block_diag=block_diag)
+        scratch_shape = (group // 2, N, 2 * hd)
+    else:
+        kernel = functools.partial(_attn_bwd_kernel, group=group,
+                                   head_dim=hd, scale=hd ** -0.5,
+                                   block_diag=block_diag)
+        scratch_shape = (group, N, hd)
+    spec = pl.BlockSpec((1, N, group * hd), lambda b, h: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, N, D), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // group),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        scratch_shapes=[pltpu.VMEM(scratch_shape, q.dtype)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * N * N * hd,
+            bytes_accessed=7 * B * N * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(q, k, v, g)
 
 
 def _block_diag_bias(n: int, block: int):
@@ -166,6 +412,14 @@ def _fa_fwd(q, k, v, num_heads, block_diag):
 
 
 def _fa_bwd(num_heads, block_diag, res, g):
+    q, k, v = res
+    if jax.default_backend() == "tpu":
+        return tuple(fused_attention_bwd(q, k, v, g, num_heads,
+                                         block_diag=block_diag))
+    return _einsum_bwd(num_heads, block_diag, res, g)
+
+
+def _einsum_bwd(num_heads, block_diag, res, g):
     q, k, v = res
     B, N, D = q.shape
     hd = D // num_heads

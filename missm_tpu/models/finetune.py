@@ -30,7 +30,7 @@ class ModelConfig:
     towers: Tuple[Tuple[str, TowerConfig], ...]
     fusion: FusionConfig
     use_temp: bool = True
-    remat: bool = False
+    remat: bool | str = False  # True/'save_attn'/'save_attn_mlp'/'save_most'
     compute_dtype: str = "float32"
 
     @property

@@ -264,13 +264,16 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
             if "tmlp" in p:
                 # temporal MLP — live in image/audio/depth/thermal towers,
                 # disabled in video (ref video/modeling_video.py:189-190)
+                from jax.ad_checkpoint import checkpoint_name
                 res = h
                 ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
                 ht = ht.reshape(-1, T, h.shape[-1])
                 ht = layer_norm(p["tln2"], ht, eps)
-                ht = linear(p["tmlp"]["fc2"], act(
-                    linear(p["tmlp"]["fc1"], ht, lora_scaling=lora_scaling)),
-                    lora_scaling=lora_scaling)
+                wide = checkpoint_name(
+                    linear(p["tmlp"]["fc1"], ht, lora_scaling=lora_scaling),
+                    "mlp_wide")
+                wide = checkpoint_name(act(wide), "mlp_wide_act")
+                ht = linear(p["tmlp"]["fc2"], wide, lora_scaling=lora_scaling)
                 ht = ht.reshape(-1, N, T, ht.shape[-1]).transpose(0, 2, 1, 3)
                 h = res + ht.reshape(-1, N, ht.shape[-1])
         else:
@@ -285,7 +288,9 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
         h = res + hn
         res = h
         hn = layer_norm(p["ln2"], h, eps)
-        hn = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], hn)))
+        wide = checkpoint_name(linear(p["mlp"]["fc1"], hn), "mlp_wide")
+        wide = checkpoint_name(act(wide), "mlp_wide_act")
+        hn = linear(p["mlp"]["fc2"], wide)
         h = res + hn
         return h
 
@@ -293,10 +298,23 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
         # remat True/'full': save nothing (min memory). 'save_attn': keep
         # each block's attention output so the MLP-side backward does not
         # re-run the attention kernel (770 MB extra at ViT-L b64).
+        # 'save_attn_mlp': additionally keep each block's fc1 pre-activation
+        # (the gelu recomputes elementwise) — backward then re-runs only
+        # ln1/qkv/ln2/fc1, never the attention kernel or fc2
+        # (~4 GB extra at ViT-L b64).
+        # 'save_most' (save EVERYTHING except the 4d-wide tensors) was
+        # measured WORSE: b64 OOMs and at b32 XLA inserts remat-compression
+        # copies that eat the recompute savings — see docs/PERF.md.
         policy = None
+        from jax.ad_checkpoint import checkpoint_policies
         if remat == "save_attn":
-            from jax.ad_checkpoint import checkpoint_policies
             policy = checkpoint_policies.save_only_these_names("attn_out")
+        elif remat == "save_attn_mlp":
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide")
+        elif remat == "save_most":
+            policy = checkpoint_policies.save_anything_except_these_names(
+                "mlp_wide", "mlp_wide_act")
         run = jax.checkpoint(run, policy=policy)
     return run(p, x)
 

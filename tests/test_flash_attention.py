@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from missm_tpu.kernels.flash_attention import (
-    _einsum_reference, _fa_bwd, fused_attention,
+    _einsum_reference, _fa_bwd, fused_attention, fused_attention_bwd,
 )
 
 
@@ -20,6 +20,22 @@ def test_kernel_matches_reference(rng, n, heads, group):
     v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
     got = fused_attention(q, k, v, heads, group=group, interpret=True)
     ref = _einsum_reference(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,heads,group,block_diag", [
+    (8, 2, 2, 0), (17, 4, 4, 0), (257, 16, 8, 0), (128, 4, 4, 8)])
+def test_packed_pair_kernel_matches_reference(rng, n, heads, group,
+                                              block_diag):
+    """The 128-lane head-pair-packed kernel == einsum, incl. block-diag."""
+    D = heads * 64
+    q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    got = fused_attention(q, k, v, heads, group=group, packed=True,
+                          block_diag=block_diag, interpret=True)
+    ref = _einsum_reference(q, k, v, heads, block_diag)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
 
@@ -40,4 +56,29 @@ def test_custom_vjp_matches_einsum_grads(rng):
     got_grads = _fa_bwd(heads, 0, (q, k, v), g)
     for a, b in zip(got_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+@pytest.mark.parametrize("n,heads,group,block_diag", [
+    (16, 2, 1, 0), (257, 8, 4, 0), (128, 4, 2, 8),
+    # even groups -> the head-pair-packed backward
+    (16, 2, 2, 0), (257, 16, 8, 0), (128, 4, 4, 8)])
+def test_fused_bwd_kernel_matches_einsum_grads(rng, n, heads, group,
+                                               block_diag):
+    """The Pallas backward (scores recomputed in VMEM) == autodiff of the
+    einsum formulation, incl. the packed block-diagonal mode."""
+    D = heads * 64
+    q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_einsum_reference(q, k, v, heads, block_diag) ** 2)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g = 2.0 * _einsum_reference(q, k, v, heads, block_diag)
+    got = fused_attention_bwd(q, k, v, g, heads, block_diag=block_diag,
+                              group=group, interpret=True)
+    for a, b in zip(got, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3)
