@@ -43,9 +43,11 @@ def build_tree(n_train, n_valid=128, n_test=64, seed=0):
     pd.DataFrame(rows).to_csv(os.path.join(ROOT, "label.csv"), index=False)
     for i in range(n):
         h, w = RESOLUTIONS[i % len(RESOLUTIONS)]
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-        Image.fromarray(img).save(os.path.join(ROOT, "data", f"{i}.jpg"),
-                                  "JPEG", quality=85)
+        # realistic (compressible) content: smooth upscaled low-res noise —
+        # pure per-pixel noise is a pathological JPEG decode workload
+        small = rng.integers(0, 256, size=(h // 8, w // 8, 3), dtype=np.uint8)
+        img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
+        img.save(os.path.join(ROOT, "data", f"{i}.jpg"), "JPEG", quality=85)
     idx = generate_missing_index(
         {"train": n_train, "valid": n_valid, "test": n_test},
         ["language", "image"])
@@ -66,6 +68,7 @@ def main():
         "--modality_types", "language", "image",
         "--fusion_type", "sum", "--model_scale", "large", "--init", "random",
         "--batch_size", str(batch), "--num_epochs", "3",
+        "--remat", "save_attn_mlp",
         "--learning_rate", "1e-4", "--patience", "8",
         "--save_path", "/tmp/duty_ckpt", "--log_dir", "/tmp/duty_logs",
     ])
