@@ -514,4 +514,97 @@ int mi_decode_video(const char* path, int num_frames, uint8_t** data,
                                  h_out, w_out);
 }
 
+// ---------------------------------------------------------------------------
+// Banded separable resample (host transform path)
+//
+// The Python side builds the SAME short-side-resize+crop(+flip) weight
+// matrices it feeds the on-device matmul resampler, then strips each row to
+// its non-zero band (bicubic/bilinear kernels have compact support), so this
+// computes bit-equivalent math (modulo f32 summation order) at
+// O(out * taps) instead of a dense matmul — ~1 ms for 500x640 -> 224x224x3
+// on one core, vs a ~290 ms synchronous device round-trip through the
+// tunnel per sample (the round-1 input-path defect).
+// ---------------------------------------------------------------------------
+
+// img: [h, w, c] uint8 (HWC).
+// H band: wh [th, tapsh] weights, loh [th] source-row starts.
+// W band: ww [tw, tapsw], low [tw].
+// mean/stdv: per-channel, applied as ((x/255) - mean) / stdv.
+// out: [c, th, tw] float32 (CHW).
+int mi_resample_u8_norm(const uint8_t* img, int h, int w, int c,
+                        const float* wh, const int* loh, int th, int tapsh,
+                        const float* ww, const int* low, int tw, int tapsw,
+                        const float* mean, const float* stdv, float* out) {
+  if (!img || !wh || !ww || !out || c <= 0) return -1;
+  const float inv255 = 1.0f / 255.0f;
+  std::vector<float> tmp((size_t)th * w * c, 0.0f);  // [th, w, c]
+  for (int o = 0; o < th; ++o) {
+    float* dst = tmp.data() + (size_t)o * w * c;
+    for (int t = 0; t < tapsh; ++t) {
+      const float wv = wh[(size_t)o * tapsh + t];
+      if (wv == 0.0f) continue;
+      const int src = loh[o] + t;
+      if (src < 0 || src >= h) return -2;
+      const uint8_t* row = img + (size_t)src * w * c;
+      const int n = w * c;
+      for (int i = 0; i < n; ++i) dst[i] += wv * (float)row[i];
+    }
+  }
+  for (int ch = 0; ch < c; ++ch) {
+    const float m = mean[ch] * 255.0f;  // fold /255 into one scale+shift
+    const float inv_sd = inv255 / stdv[ch];
+    for (int o = 0; o < th; ++o) {
+      const float* trow = tmp.data() + (size_t)o * w * c;
+      float* orow = out + ((size_t)ch * th + o) * tw;
+      for (int p = 0; p < tw; ++p) {
+        float acc = 0.0f;
+        const float* wrow = ww + (size_t)p * tapsw;
+        const int lo = low[p];
+        for (int t = 0; t < tapsw; ++t) {
+          const int src = lo + t;
+          if (src < 0 || src >= w) return -2;
+          acc += wrow[t] * trow[(size_t)src * c + ch];
+        }
+        orow[p] = (acc - m) * inv_sd;
+      }
+    }
+  }
+  return 0;
+}
+
+// f32 single-plane variant (depth path; normalize happens in Python).
+int mi_resample_f32(const float* img, int h, int w, const float* wh,
+                    const int* loh, int th, int tapsh, const float* ww,
+                    const int* low, int tw, int tapsw, float* out) {
+  if (!img || !wh || !ww || !out) return -1;
+  std::vector<float> tmp((size_t)th * w, 0.0f);
+  for (int o = 0; o < th; ++o) {
+    float* dst = tmp.data() + (size_t)o * w;
+    for (int t = 0; t < tapsh; ++t) {
+      const float wv = wh[(size_t)o * tapsh + t];
+      if (wv == 0.0f) continue;
+      const int src = loh[o] + t;
+      if (src < 0 || src >= h) return -2;
+      const float* row = img + (size_t)src * w;
+      for (int i = 0; i < w; ++i) dst[i] += wv * row[i];
+    }
+  }
+  for (int o = 0; o < th; ++o) {
+    const float* trow = tmp.data() + (size_t)o * w;
+    float* orow = out + (size_t)o * tw;
+    for (int p = 0; p < tw; ++p) {
+      float acc = 0.0f;
+      const float* wrow = ww + (size_t)p * tapsw;
+      const int lo = low[p];
+      for (int t = 0; t < tapsw; ++t) {
+        const int src = lo + t;
+        if (src < 0 || src >= w) return -2;
+        acc += wrow[t] * trow[src];
+      }
+      orow[p] = acc;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -149,5 +149,23 @@ def setup_mesh(args):
     return mesh
 
 
-def make_device_put(mesh):
-    return lambda tree: shard_batch(tree, mesh)
+def make_device_put(mesh, cast_bf16: bool = False):
+    """Host->device batch transfer. With cast_bf16 (the --bf16 towers),
+    float32 media arrays are cast to bfloat16 ON THE HOST before the
+    transfer: model_forward casts them to the compute dtype on device
+    anyway, so this is numerically identical and halves the upload bytes
+    (19 MB vs 38.5 MB per ViT-L b64 batch through the tunnel)."""
+    if not cast_bf16:
+        return lambda tree: shard_batch(tree, mesh)
+    import ml_dtypes
+    import numpy as _np
+
+    def _cast(x):
+        if isinstance(x, _np.ndarray) and x.dtype == _np.float32:
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
+    def put(tree):
+        tree = jax.tree_util.tree_map(_cast, tree)
+        return shard_batch(tree, mesh)
+    return put

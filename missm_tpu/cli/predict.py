@@ -54,7 +54,7 @@ def main(argv=None):
     pred = Predictor(tree["params"], cfg, batch_size=args.batch_size,
                      tokenizer=make_tokenizer(args),
                      media_loaders=make_loader_fns(args),
-                     device_put=make_device_put(mesh))
+                     device_put=make_device_put(mesh, cast_bf16=args.bf16))
     samples = [ds[i][0] for i in range(len(ds))]
     preds, probs = pred.predict(samples)
 

@@ -46,7 +46,7 @@ def main(argv=None):
     else:
         raise FileNotFoundError(f"final model checkpoint not found: {ckpt}")
 
-    device_put = make_device_put(mesh)
+    device_put = make_device_put(mesh, cast_bf16=args.bf16)
     eval_step = make_eval_step(cfg)
 
     all_results = {}

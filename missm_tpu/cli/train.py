@@ -73,7 +73,7 @@ def main(argv=None):
         teacher_fusion = tree["params"]["fusion"]
 
     params = partition_params(params, mesh, tp=args.mesh_model > 1)
-    device_put = make_device_put(mesh)
+    device_put = make_device_put(mesh, cast_bf16=args.bf16)
 
     writer = None
     if jax.process_index() == 0:

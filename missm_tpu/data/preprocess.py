@@ -23,7 +23,8 @@ import numpy as np
 
 from ..core.config import TowerConfig
 from ..ops.image_transforms import (
-    depth_transform, image_transform, video_transform,
+    depth_transform, depth_transform_host, image_transform,
+    image_transform_host, video_transform, video_transform_host,
 )
 from ..ops.melfbank import (
     FbankConfig, audio_model_input, chunk_ranges, num_frames,
@@ -31,9 +32,25 @@ from ..ops.melfbank import (
 from . import ingest_io
 
 
+def _host_transforms() -> bool:
+    """True when the C++ banded resampler is available. The device
+    (bucketed matmul) transforms stay as the fallback, but a per-SAMPLE
+    synchronous device round-trip costs ~290 ms on the tunneled platform
+    (vs ~1 ms host), so the loader hot path prefers the host."""
+    import os
+    if os.environ.get("MISSM_DEVICE_TRANSFORMS"):
+        return False
+    from ..ingest import native
+    return native.available()
+
+
 def make_image_loader(size: int = 224) -> Callable:
     def load(path):
         img = ingest_io.decode_image(path)           # [H, W, 3] uint8
+        if _host_transforms():
+            out = image_transform_host(img, size)
+            if out is not None:
+                return out
         return np.asarray(image_transform(img, size))
     return load
 
@@ -46,6 +63,11 @@ def make_thermal_loader(size: int = 224) -> Callable:
 def make_depth_loader(size: int = 224, max_depth: float = 10.0) -> Callable:
     def load(path):
         raw = ingest_io.decode_depth(path)           # [H, W] uint16/float
+        if _host_transforms():
+            out = depth_transform_host(raw.astype(np.float32), size,
+                                       max_depth)
+            if out is not None:
+                return out
         return np.asarray(depth_transform(raw.astype(np.float32), size,
                                           max_depth))
     return load
@@ -87,6 +109,10 @@ def make_video_loader(num_frames: int = 8, size: int = 224,
         else:
             frames = ingest_io.decode_video(path, num_frames)  # [T,H,W,3]
         flip = bool(rng.integers(0, 2)) if reference_randomness else False
+        if _host_transforms():
+            out = video_transform_host(frames, size, flip=flip)
+            if out is not None:
+                return out
         return np.asarray(video_transform(frames, size, flip=flip))
     return load
 
@@ -119,6 +145,12 @@ def make_audio_loader(cfg: TowerConfig,
                 idx = (int(r0[0]), int(r1[0]), int(r2[0]))
         else:
             idx = (0, 0, 0)
+        import os
+        if not os.environ.get("MISSM_DEVICE_TRANSFORMS"):
+            # pure-numpy host path — needs no native lib
+            from ..ops.melfbank import audio_model_input_host
+            return audio_model_input_host(wav, fb, target, idx,
+                                          cfg.audio_mean, cfg.audio_std)
         out = audio_model_input(wav, fb, target, idx, cfg.audio_mean,
                                 cfg.audio_std)
         return np.asarray(out)

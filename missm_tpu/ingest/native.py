@@ -84,6 +84,20 @@ def _load():
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int)]
         lib.mi_free.restype = None
         lib.mi_free.argtypes = [ctypes.c_void_p]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.mi_resample_u8_norm.restype = ctypes.c_int
+        lib.mi_resample_u8_norm.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, f32p]
+        lib.mi_resample_f32.restype = ctypes.c_int
+        lib.mi_resample_f32.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int, f32p]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -219,3 +233,47 @@ def decode_video(path: str, num_frames: int) -> Optional[np.ndarray]:
     finally:
         lib.mi_free(data)
     return arr
+
+
+def resample_u8_norm(img_hwc: np.ndarray, wh: np.ndarray, loh: np.ndarray,
+                     ww: np.ndarray, low: np.ndarray, mean: np.ndarray,
+                     std: np.ndarray) -> Optional[np.ndarray]:
+    """Banded separable resample+crop of a [H, W, C] uint8 image with the
+    normalize fused: returns [C, th, tw] float32 == the device matmul
+    resampler's output (modulo f32 summation order). Bands come from
+    ops.image_transforms.crop_resize_bands."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img_hwc, np.uint8)
+    h, w, c = img.shape
+    th, tw = wh.shape[0], ww.shape[0]
+    out = np.empty((c, th, tw), np.float32)
+    rc = lib.mi_resample_u8_norm(
+        img, h, w, c,
+        np.ascontiguousarray(wh, np.float32),
+        np.ascontiguousarray(loh, np.int32), th, wh.shape[1],
+        np.ascontiguousarray(ww, np.float32),
+        np.ascontiguousarray(low, np.int32), tw, ww.shape[1],
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32), out)
+    return out if rc == 0 else None
+
+
+def resample_f32(img_hw: np.ndarray, wh: np.ndarray, loh: np.ndarray,
+                 ww: np.ndarray, low: np.ndarray) -> Optional[np.ndarray]:
+    """Banded separable resample of one [H, W] float32 plane -> [th, tw]."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img_hw, np.float32)
+    h, w = img.shape
+    th, tw = wh.shape[0], ww.shape[0]
+    out = np.empty((th, tw), np.float32)
+    rc = lib.mi_resample_f32(
+        img, h, w,
+        np.ascontiguousarray(wh, np.float32),
+        np.ascontiguousarray(loh, np.int32), th, wh.shape[1],
+        np.ascontiguousarray(ww, np.float32),
+        np.ascontiguousarray(low, np.int32), tw, ww.shape[1], out)
+    return out if rc == 0 else None

@@ -150,6 +150,106 @@ def depth_transform(depth_hw, size: int = 224, max_depth: float = 10.0,
                          jnp.asarray(mw), jnp.float32(max_depth))
 
 
+# ---------------------------------------------------------------------------
+# Host (C++) transform path
+#
+# Per-SAMPLE device transforms are wrong on a tunneled platform: each
+# synchronous dispatch+readback measured ~290 ms (scripts, round 2) vs
+# ~1 ms for the same math on the host. The band form strips each row of the
+# same resize matrices to its compact kernel support and runs the separable
+# resample in cpp/ingest.cc; the device (bucketed matmul) path remains for
+# environments without the native library and for parity tests.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4096)
+def crop_resize_bands(h: int, w: int, size: int, method: str,
+                      antialias: bool, flip: bool = False):
+    """Banded form of crop_resize_weights (UNpadded): returns
+    (wh [size, tapsh], loh [size], ww [size, tapsw], low [size])."""
+    th, tw = short_side_resize_shape(h, w, size)
+    mh = resize_matrix(h, th, method, antialias)
+    mw = resize_matrix(w, tw, method, antialias)
+    top = int(round((th - size) / 2.0))
+    left = int(round((tw - size) / 2.0))
+    mh = mh[top:top + size]
+    mw = mw[left:left + size]
+    if flip:
+        mw = mw[::-1]
+
+    def to_band(m, src):
+        nz = m != 0
+        any_nz = nz.any(axis=1)
+        lo = np.where(any_nz, np.argmax(nz, axis=1), 0).astype(np.int32)
+        hi = np.where(any_nz, src - 1 - np.argmax(nz[:, ::-1], axis=1), 0)
+        taps = max(int((hi - lo).max()) + 1, 1)
+        lo = np.minimum(lo, max(src - taps, 0)).astype(np.int32)
+        idx = lo[:, None] + np.arange(taps)[None]
+        band = np.take_along_axis(m, idx, axis=1).astype(np.float32)
+        return np.ascontiguousarray(band), lo
+
+    bh, loh = to_band(mh, h)
+    bw, low = to_band(mw, w)
+    return bh, loh, bw, low
+
+
+_MEAN_F32 = np.asarray(OPENAI_MEAN, np.float32)
+_STD_F32 = np.asarray(OPENAI_STD, np.float32)
+_ZERO3 = np.zeros(3, np.float32)
+_ONE3 = np.ones(3, np.float32)
+
+
+def image_transform_host(img_hwc_uint8, size: int = 224):
+    """Host-side image/thermal transform: [H, W, 3] uint8 ->
+    [3, size, size] f32; same math as `image_transform` (banded C++
+    resample). Returns None when the native library is unavailable."""
+    from ..ingest import native
+    img = np.asarray(img_hwc_uint8)
+    bh, loh, bw, low = crop_resize_bands(img.shape[0], img.shape[1], size,
+                                         "bicubic", True)
+    return native.resample_u8_norm(img, bh, loh, bw, low, _MEAN_F32,
+                                   _STD_F32)
+
+
+def video_transform_host(frames_thwc_uint8, size: int = 224,
+                         flip: bool = False):
+    """Host-side video transform: [T, H, W, 3] uint8 -> [3, T, size, size]
+    f32 (bilinear, no antialias; normalize commutes exactly with the
+    resample since weight rows sum to 1)."""
+    from ..ingest import native
+    frames = np.asarray(frames_thwc_uint8)
+    t, h, w = frames.shape[:3]
+    bh, loh, bw, low = crop_resize_bands(h, w, size, "bilinear", False,
+                                         flip=flip)
+    out = np.empty((3, t, size, size), np.float32)
+    for i in range(t):
+        r = native.resample_u8_norm(frames[i], bh, loh, bw, low, _MEAN_F32,
+                                    _STD_F32)
+        if r is None:
+            return None
+        out[:, i] = r
+    return out
+
+
+def depth_transform_host(depth_hw, size: int = 224, max_depth: float = 10.0):
+    """Host-side depth transform (DepthNorm in numpy + banded resample)."""
+    from ..ingest import native
+    raw = np.asarray(depth_hw, np.float32)
+    d = raw / 1000.0
+    d = np.maximum(d, 0.01)
+    denom = max_depth if max_depth > 0 else float(d.max())
+    if max_depth > 0:
+        d = np.minimum(d, max_depth)
+    d = d / denom
+    bh, loh, bw, low = crop_resize_bands(raw.shape[0], raw.shape[1], size,
+                                         "bicubic", True)
+    plane = native.resample_f32(d, bh, loh, bw, low)
+    if plane is None:
+        return None
+    out = np.broadcast_to(plane[None], (3, size, size))
+    return ((out - _MEAN_F32[:, None, None]) / _STD_F32[:, None, None]
+            ).astype(np.float32)
+
+
 def uniform_frame_indices(duration: int, num_frames: int):
     """linspace frame sampling over the full clip — decord/opencv backends
     (reference video/processing_video.py:92,100)."""

@@ -197,6 +197,50 @@ def audio_model_input(waveform: "np.ndarray", cfg: FbankConfig,
                          jnp.float32(audio_std))
 
 
+def kaldi_fbank_host(waveform: np.ndarray,
+                     cfg: FbankConfig = FbankConfig()) -> np.ndarray:
+    """numpy twin of `kaldi_fbank` for the loader hot path: a per-sample
+    synchronous device round-trip costs ~290 ms on the tunneled platform
+    (scripts, round 2) vs a few ms of host FFT."""
+    wav = np.asarray(waveform, np.float32)
+    m = num_frames(wav.shape[0], cfg)
+    ws, shift = cfg.window_size, cfg.window_shift
+    idx = (np.arange(m) * shift)[:, None] + np.arange(ws)[None, :]
+    frames = wav[idx]                                       # [m, ws]
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis:
+        prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * prev
+    frames = frames * _hann(ws)
+    pad = cfg.padded_window_size - ws
+    frames = np.pad(frames, ((0, 0), (0, pad)))
+    spectrum = np.abs(np.fft.rfft(frames, axis=1)).astype(np.float32) ** 2
+    energies = spectrum @ mel_banks(cfg).T                  # [m, bins]
+    eps = np.finfo(np.float32).eps
+    return np.log(np.maximum(energies, eps)).astype(np.float32)
+
+
+def audio_model_input_host(waveform: np.ndarray, cfg: FbankConfig,
+                           target_length: int, chunk_indices,
+                           audio_mean: float, audio_std: float):
+    """numpy twin of `audio_model_input` (same chunk/tile/normalize
+    semantics as `waveform_to_model_input`)."""
+    mel = kaldi_fbank_host(waveform, cfg)                   # [T, bins]
+    T = mel.shape[0]
+    if T > target_length:
+        chunks = [mel[i:i + target_length] for i in chunk_indices]
+        fusion = np.stack(chunks, axis=0)
+    elif T < target_length:
+        n_repeat = int(target_length / T) + 1
+        rep = np.tile(mel, (n_repeat, 1))[:target_length]
+        fusion = np.stack([rep, rep, rep], axis=0)
+    else:
+        fusion = np.stack([mel, mel, mel], axis=0)
+    fusion = fusion.transpose(0, 2, 1)                      # [3, bins, tgt]
+    return ((fusion - audio_mean) / (audio_std * 2.0)).astype(np.float32)
+
+
 def chunk_ranges(total_frames: int, target_length: int):
     """The three np.array_split ranges the reference samples chunk starts
     from (audio/processing_audio.py:60-68)."""

@@ -27,15 +27,19 @@ from .step import init_train_state, make_eval_step, make_train_step
 
 
 def _prepared_batches(loader, batch_size, device_put):
-    """Pad + host->device transfer, run ahead of the device in a prefetch
-    thread (double-buffered input pipeline)."""
+    """Two-stage input pipeline: one thread decodes/collates/pads, a second
+    performs the host->device transfer — so tunnel upload time overlaps
+    decode+transform time instead of adding to it (each stage is
+    double-buffered; upload of batch k runs while batch k+1 decodes)."""
     def gen():
         for data, labels, missing in loader:
-            data, labels, missing = _pad_batch((data, labels, missing),
-                                               batch_size)
-            yield (device_put(data), jnp.asarray(labels),
-                   jnp.asarray(missing))
-    return prefetch(gen(), depth=2)
+            yield _pad_batch((data, labels, missing), batch_size)
+
+    def put(batch):
+        data, labels, missing = batch
+        return (device_put(data), jnp.asarray(labels), jnp.asarray(missing))
+
+    return prefetch(prefetch(gen(), depth=2), depth=2, transfer=put)
 
 
 def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
