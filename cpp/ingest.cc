@@ -454,9 +454,28 @@ int mi_decode_video_indices(const char* path, const int64_t* want_idx,
     ++idx;
   };
 
+  // Intra-only codecs (MJPEG, ProRes, raw): every packet decodes
+  // independently, so unwanted packets can skip the decoder entirely —
+  // sampling 8 of 60 frames costs 8 decodes, not 60. Inter-coded streams
+  // must decode every frame for reference chains.
+  const AVCodecDescriptor* desc =
+      avcodec_descriptor_get(stream->codecpar->codec_id);
+  const bool intra_only = desc && (desc->props & AV_CODEC_PROP_INTRA_ONLY);
+  int64_t pkt_idx = 0;  // frame index by packet position (intra-only path)
+
   while (next_want < num_frames && av_read_frame(fmt, pkt) >= 0) {
     if (pkt->stream_index == vs) {
-      if (avcodec_send_packet(ctx, pkt) == 0) {
+      if (intra_only) {
+        const bool wanted = next_want < num_frames &&
+                            want[next_want] == pkt_idx;
+        if (wanted) {
+          idx = pkt_idx;  // decoder emits exactly the frames we send
+          if (avcodec_send_packet(ctx, pkt) == 0) {
+            while (avcodec_receive_frame(ctx, frame) == 0) deliver(frame);
+          }
+        }
+        ++pkt_idx;
+      } else if (avcodec_send_packet(ctx, pkt) == 0) {
         while (avcodec_receive_frame(ctx, frame) == 0) deliver(frame);
       }
     }

@@ -1,0 +1,109 @@
+"""Audio-visual duty-cycle proof: an eNTERFACE-style train run on the TPU
+with REAL mixed-shape media — MJPEG AVIs at 3 resolutions x 3 clip lengths
+and PCM WAVs at 3 durations — through the production CLI. The video+audio
+train step is compute-heavy enough that the single-core host input path
+(FFmpeg decode + C++ banded resample + numpy fbank + tunnel upload) hides
+under it; the image-only workload on this 1-core host is input-bound by
+~580 ms/batch of irreducible host CPU vs a 316 ms device step — see
+docs/PERF.md "input pipeline" for the measured balance.
+
+Usage: python scripts/dutycycle_av_probe.py [n_train] [batch]
+"""
+import io
+import os
+import struct
+import sys
+import wave
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                + "/tests")
+
+import numpy as np
+
+ROOT = "/tmp/duty_enterface"
+RESOLUTIONS = [(240, 320), (288, 352), (192, 256)]   # (h, w)
+N_FRAMES = [30, 45, 60]
+WAV_SECONDS = [3.0, 6.5, 11.0]
+EMOTIONS = ["anger", "joy", "fear"]
+
+
+def _jpeg(img_hwc, quality=85):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img_hwc).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def build_tree(n_train, n_valid=32, n_test=16, seed=0):
+    import pandas as pd
+
+    from avi_writer import write_mjpeg_avi
+    from missm_tpu.data.missing import (generate_missing_index,
+                                        save_missing_index)
+
+    rng = np.random.default_rng(seed)
+    n = n_train + n_valid + n_test
+    rows = {"avi_path": [], "annotation": [], "mode": []}
+    modes = ["train"] * n_train + ["valid"] * n_valid + ["test"] * n_test
+    for i in range(n):
+        emo = EMOTIONS[rng.integers(0, 3)]
+        avi = f"{ROOT}/data/s{i}/{emo}/sen/a.avi"
+        wav_path = avi.replace(".avi", ".wav").replace("/data/", "/wav/")
+        os.makedirs(os.path.dirname(avi), exist_ok=True)
+        os.makedirs(os.path.dirname(wav_path), exist_ok=True)
+
+        h, w = RESOLUTIONS[i % len(RESOLUTIONS)]
+        t = N_FRAMES[(i // 3) % len(N_FRAMES)]
+        # smooth content (see dutycycle_probe): upscaled low-res noise
+        from PIL import Image
+        frames = []
+        for _ in range(t):
+            small = rng.integers(0, 256, size=(h // 8, w // 8, 3),
+                                 dtype=np.uint8)
+            img = np.asarray(Image.fromarray(small).resize((w, h),
+                                                           Image.BILINEAR))
+            frames.append(_jpeg(img))
+        write_mjpeg_avi(avi, frames, w, h, fps=15)
+
+        secs = WAV_SECONDS[i % len(WAV_SECONDS)]
+        pcm = (rng.standard_normal(int(16000 * secs)) * 3000).astype(np.int16)
+        with wave.open(wav_path, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(pcm.tobytes())
+
+        rows["avi_path"].append(avi)
+        rows["annotation"].append(emo)
+        rows["mode"].append(modes[i])
+    pd.DataFrame(rows).to_csv(os.path.join(ROOT, "label.csv"), index=False)
+    idx = generate_missing_index(
+        {"train": n_train, "valid": n_valid, "test": n_test},
+        ["video", "audio"])
+    save_missing_index(os.path.join(ROOT, "missing_index.pkl"), idx)
+    print(f"tree: {n} samples, {len(RESOLUTIONS)} resolutions x "
+          f"{len(N_FRAMES)} clip lengths, {len(WAV_SECONDS)} wav lengths",
+          flush=True)
+
+
+def main():
+    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    if not os.path.exists(os.path.join(ROOT, "label.csv")):
+        build_tree(n_train)
+
+    from missm_tpu.cli.train import main as train_main
+    train_main([
+        "--datasetName", "eNTERFACE",
+        "--csv_path", os.path.join(ROOT, "label.csv"),
+        "--modality_types", "video", "audio",
+        "--fusion_type", "sum", "--model_scale", "large", "--init", "random",
+        "--batch_size", str(batch), "--num_epochs", "3",
+        "--learning_rate", "1e-4", "--patience", "8",
+        "--save_path", "/tmp/duty_av_ckpt", "--log_dir", "/tmp/duty_av_logs",
+    ])
+
+
+if __name__ == "__main__":
+    main()
