@@ -104,6 +104,63 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *,
             o_ref[b, :, sl] = o[p].astype(o_ref.dtype)
 
 
+def _attn_kernel_packed_cls(q_ref, kc_ref, km_ref, vc_ref, vm_ref, o_ref,
+                            qs, ks, vs, kcs, vcs, *, pairs: int,
+                            head_dim: int, scale: float, batch_block: int):
+    """Head-pair-packed forward with the CLS key/value split out.
+
+    The ViT sequence is 1 CLS + 256 patches (N = 257): a full-K score dot
+    pads the 257-lane key axis to 3x128 tiles (~1.5x MXU waste — the
+    measured bulk of the kernel's overhead over the matmul floor,
+    docs/PERF.md). Here the caller passes the CLS key/value as separate
+    [B, 1, D] refs, so the score/AV dots run on the 256 main tokens with
+    EXACT 2x128 lane tiles, and the single CLS column is folded into the
+    same softmax on the VPU (a lane-reduction and a broadcast multiply —
+    no MXU tiles, no in-kernel slicing of the 257 axis, which is what
+    crashes Mosaic's layout pass)."""
+    pw = 2 * head_dim
+    n = qs.shape[1]
+    nm = ks.shape[1]
+    lo_q = (jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1) < head_dim)[None]
+    lo_m = (jax.lax.broadcasted_iota(jnp.int32, (nm, pw), 1) < head_dim)[None]
+    lo_c = (jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1) < head_dim)[None]
+    dn_qk = (((2,), (2,)), ((0,), (0,)))
+    dn_av = (((2,), (1,)), ((0,), (0,)))
+    for b in range(batch_block):
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            qs[p] = q_ref[b, :, sl]
+            ks[p] = km_ref[b, :, sl]
+            vs[p] = vm_ref[b, :, sl]
+            kcs[p] = kc_ref[b, :, sl]
+            vcs[p] = vc_ref[b, :, sl]
+        q_all, k_all, v_all = qs[...], ks[...], vs[...]
+        kc_all, vc_all = kcs[...], vcs[...]
+        zero = jnp.zeros((), q_all.dtype)
+        o = None
+        for mq, mm, mc in ((lo_q, lo_m, lo_c), (~lo_q, ~lo_m, ~lo_c)):
+            qm = jnp.where(mq, q_all, zero)
+            s_m = jax.lax.dot_general(
+                qm, k_all, dn_qk,
+                preferred_element_type=jnp.float32) * scale   # [P, N, Nm]
+            s_c = jnp.sum(qm.astype(jnp.float32)
+                          * kc_all.astype(jnp.float32), axis=2,
+                          keepdims=True) * scale               # [P, N, 1]
+            m = jnp.maximum(jnp.max(s_m, axis=2, keepdims=True), s_c)
+            e_m = jnp.exp(s_m - m)
+            e_c = jnp.exp(s_c - m)
+            den = jnp.sum(e_m, axis=2, keepdims=True) + e_c
+            o_h = jax.lax.dot_general(
+                e_m.astype(q_all.dtype), jnp.where(mm, v_all, zero), dn_av,
+                preferred_element_type=jnp.float32)
+            o_h = o_h + e_c * jnp.where(mc, vc_all, zero).astype(jnp.float32)
+            o_h = o_h / den
+            o = o_h if o is None else o + o_h
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            o_ref[b, :, sl] = o[p].astype(o_ref.dtype)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
                  head_dim: int, scale: float, batch_block: int,
                  block_diag: int = 0):
@@ -212,6 +269,234 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
         ),
         interpret=interpret,
     )(q, k, v)
+
+
+def _cls_group(num_heads: int, hd: int, N: int, group: int | None):
+    """Largest even head group for the cls-split kernels (pair packing is
+    mandatory there): lane-aligned, VMEM-bounded, <= 16."""
+    def _lane_ok(g):
+        return (g * hd) % 128 == 0 or g == num_heads
+
+    def _fits(g):
+        return g * (N * N * 4 + 6 * N * hd) <= 10 * 1024 * 1024
+
+    cands = [d for d in range(2, num_heads + 1, 2)
+             if num_heads % d == 0 and _lane_ok(d) and _fits(d)
+             and d <= (group or 16)]
+    return max(cands) if cands else None
+
+
+def fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads: int,
+                        group: int | None = None, batch_block: int = 1,
+                        interpret: bool = False):
+    """Forward attention with K/V pre-split into ([B, 1, D] CLS,
+    [B, N-1, D] main) so the kernel's score dots run tile-exact when
+    N-1 is a lane multiple (ViT: 257 = 1 + 2x128). Callers produce the
+    split at the projection level (two matmuls over x[:, :1] / x[:, 1:])
+    — no [B, N-1, D] slice copies are ever materialized."""
+    import math
+
+    B, N, D = q.shape
+    nm = k_main.shape[1]
+    hd = D // num_heads
+    g = _cls_group(num_heads, hd, N, group)
+    if g is None:
+        raise ValueError("no valid head group for cls-split kernel")
+    bb = math.gcd(B, batch_block)
+    kernel = functools.partial(_attn_kernel_packed_cls, pairs=g // 2,
+                               head_dim=hd, scale=hd ** -0.5, batch_block=bb)
+    gw = g * hd
+    spec_q = pl.BlockSpec((bb, N, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((bb, nm, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((bb, 1, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    pw = 2 * hd
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb, num_heads // g),
+        in_specs=[spec_q, spec_c, spec_m, spec_c, spec_m],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((g // 2, N, pw), q.dtype),
+                        pltpu.VMEM((g // 2, nm, pw), q.dtype),
+                        pltpu.VMEM((g // 2, nm, pw), q.dtype),
+                        pltpu.VMEM((g // 2, 1, pw), q.dtype),
+                        pltpu.VMEM((g // 2, 1, pw), q.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * N * nm * hd,
+            bytes_accessed=4 * B * N * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(q, k_cls, k_main, v_cls, v_main)
+
+
+def _attn_bwd_kernel_packed_cls(q_ref, kc_ref, km_ref, vc_ref, vm_ref, g_ref,
+                                dq_ref, dkc_ref, dkm_ref, dvc_ref, dvm_ref,
+                                qs, ks, vs, gs, kcs, vcs, *, pairs: int,
+                                head_dim: int, scale: float):
+    """Backward for the cls-split forward: same parity-masked head-pair
+    packing as _attn_bwd_kernel_packed, with the CLS column's gradient
+    terms computed as VPU reductions/broadcasts — all five MXU dots run
+    on the tile-exact 256-key main block."""
+    pw = 2 * head_dim
+    n = qs.shape[1]
+    nm = ks.shape[1]
+    lo_q = (jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1) < head_dim)[None]
+    lo_m = (jax.lax.broadcasted_iota(jnp.int32, (nm, pw), 1) < head_dim)[None]
+    lo_c = (jax.lax.broadcasted_iota(jnp.int32, (1, pw), 1) < head_dim)[None]
+    dn_qk = (((2,), (2,)), ((0,), (0,)))   # contract lanes   -> [P, N, Nm]
+    dn_av = (((2,), (1,)), ((0,), (0,)))   # contract k-index -> [P, N, pw]
+    dn_t = (((1,), (1,)), ((0,), (0,)))    # contract q-index -> [P, Nm, pw]
+    for p in range(pairs):
+        sl = slice(p * pw, (p + 1) * pw)
+        qs[p] = q_ref[0, :, sl]
+        ks[p] = km_ref[0, :, sl]
+        vs[p] = vm_ref[0, :, sl]
+        gs[p] = g_ref[0, :, sl]
+        kcs[p] = kc_ref[0, :, sl]
+        vcs[p] = vc_ref[0, :, sl]
+    q_all, k_all, v_all, g_all = qs[...], ks[...], vs[...], gs[...]
+    kc_all, vc_all = kcs[...], vcs[...]
+    zero = jnp.zeros((), q_all.dtype)
+    dq = dkm = dvm = dkc = dvc = None
+    for mq, mm, mc in ((lo_q, lo_m, lo_c), (~lo_q, ~lo_m, ~lo_c)):
+        qm = jnp.where(mq, q_all, zero)
+        gm = jnp.where(mq, g_all, zero)
+        km = jnp.where(mm, k_all, zero)
+        kcm = jnp.where(mc, kc_all, zero).astype(jnp.float32)
+        vcm = jnp.where(mc, vc_all, zero).astype(jnp.float32)
+        s_m = jax.lax.dot_general(
+            qm, k_all, dn_qk, preferred_element_type=jnp.float32) * scale
+        s_c = jnp.sum(qm.astype(jnp.float32) * kc_all.astype(jnp.float32),
+                      axis=2, keepdims=True) * scale
+        mx = jnp.maximum(jnp.max(s_m, axis=2, keepdims=True), s_c)
+        e_m = jnp.exp(s_m - mx)
+        e_c = jnp.exp(s_c - mx)
+        den = jnp.sum(e_m, axis=2, keepdims=True) + e_c
+        p_m = e_m / den                                     # [P, N, Nm] f32
+        p_c = e_c / den                                     # [P, N, 1]  f32
+        pb = p_m.astype(q_all.dtype)
+        dvm_h = jax.lax.dot_general(pb, gm, dn_t,
+                                    preferred_element_type=jnp.float32)
+        # CLS-column gradients contract the 257-query axis: run them as
+        # [N,1]^T x [N,pw] MXU dots (sublane-axis VPU reductions of a
+        # broadcast [N, pw] f32 product measured ~30% slower end-to-end)
+        dvc_h = jax.lax.dot_general(p_c.astype(q_all.dtype), gm, dn_t,
+                                    preferred_element_type=jnp.float32)
+        dp_m = jax.lax.dot_general(gm, v_all, dn_qk,
+                                   preferred_element_type=jnp.float32)
+        dp_c = jnp.sum(gm.astype(jnp.float32) * vcm, axis=2, keepdims=True)
+        dsum = (jnp.sum(dp_m * p_m, axis=2, keepdims=True) + dp_c * p_c)
+        ds_m = (p_m * (dp_m - dsum)).astype(q_all.dtype)
+        ds_c = p_c * (dp_c - dsum)                          # [P, N, 1]  f32
+        dq_h = (jax.lax.dot_general(ds_m, km, dn_av,
+                                    preferred_element_type=jnp.float32)
+                + ds_c * kcm) * scale
+        dkm_h = jax.lax.dot_general(ds_m, qm, dn_t,
+                                    preferred_element_type=jnp.float32) * scale
+        dkc_h = jax.lax.dot_general(ds_c.astype(q_all.dtype), qm, dn_t,
+                                    preferred_element_type=jnp.float32) * scale
+        dq = dq_h if dq is None else dq + dq_h
+        dkm = dkm_h if dkm is None else dkm + dkm_h
+        dvm = dvm_h if dvm is None else dvm + dvm_h
+        dkc = dkc_h if dkc is None else dkc + dkc_h
+        dvc = dvc_h if dvc is None else dvc + dvc_h
+    for p in range(pairs):
+        sl = slice(p * pw, (p + 1) * pw)
+        dq_ref[0, :, sl] = dq[p].astype(dq_ref.dtype)
+        dkm_ref[0, :, sl] = dkm[p].astype(dkm_ref.dtype)
+        dvm_ref[0, :, sl] = dvm[p].astype(dvm_ref.dtype)
+        dkc_ref[0, :, sl] = dkc[p].astype(dkc_ref.dtype)
+        dvc_ref[0, :, sl] = dvc[p].astype(dvc_ref.dtype)
+
+
+def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
+                            num_heads: int, group: int | None = None,
+                            interpret: bool = False):
+    """(dq, dk_cls, dk_main, dv_cls, dv_main) for the cls-split forward."""
+    B, N, D = q.shape
+    nm = k_main.shape[1]
+    hd = D // num_heads
+
+    def _fits(d):
+        return d * (2 * N * N * 4 + 16 * N * hd) <= 8 * 1024 * 1024
+
+    if group is None:
+        cands = [d for d in range(2, num_heads + 1, 2)
+                 if num_heads % d == 0 and ((d * hd) % 128 == 0
+                                            or d == num_heads)
+                 and _fits(d) and d <= 8]
+        group = max(cands) if cands else None
+    if group is None or group % 2:
+        raise ValueError("no valid head group for cls-split backward")
+    kernel = functools.partial(_attn_bwd_kernel_packed_cls, pairs=group // 2,
+                               head_dim=hd, scale=hd ** -0.5)
+    gw = group * hd
+    pw = 2 * hd
+    spec_q = pl.BlockSpec((1, N, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, nm, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, 1, gw), lambda b, h: (b, 0, h),
+                          memory_space=pltpu.VMEM)
+    sq = jax.ShapeDtypeStruct((B, N, D), q.dtype)
+    sm = jax.ShapeDtypeStruct((B, nm, D), q.dtype)
+    sc = jax.ShapeDtypeStruct((B, 1, D), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, num_heads // group),
+        in_specs=[spec_q, spec_c, spec_m, spec_c, spec_m, spec_q],
+        out_specs=[spec_q, spec_c, spec_m, spec_c, spec_m],
+        out_shape=[sq, sc, sm, sc, sm],
+        scratch_shapes=[pltpu.VMEM((group // 2, N, pw), q.dtype),
+                        pltpu.VMEM((group // 2, nm, pw), q.dtype),
+                        pltpu.VMEM((group // 2, nm, pw), q.dtype),
+                        pltpu.VMEM((group // 2, N, pw), q.dtype),
+                        pltpu.VMEM((group // 2, 1, pw), q.dtype),
+                        pltpu.VMEM((group // 2, 1, pw), q.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * num_heads * N * nm * hd,
+            bytes_accessed=7 * B * N * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(q, k_cls, k_main, v_cls, v_main, g)
+
+
+def cls_split_available(num_heads: int, head_dim: int, seq_len: int) -> bool:
+    """The cls-split kernels apply when the non-CLS token count is an exact
+    lane multiple and heads pack in 128-lane pairs (ViT-L/14: 257, hd 64)."""
+    return ((seq_len - 1) % 128 == 0 and seq_len > 128
+            and (2 * head_dim) % 128 == 0 and head_dim % 128 != 0
+            and num_heads % 2 == 0
+            and _cls_group(num_heads, head_dim, seq_len, None) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_cls_ad(q, k_cls, k_main, v_cls, v_main, num_heads: int):
+    return fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads)
+
+
+def _fac_fwd(q, k_cls, k_main, v_cls, v_main, num_heads):
+    return (fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads),
+            (q, k_cls, k_main, v_cls, v_main))
+
+
+def _fac_bwd(num_heads, res, g):
+    q, k_cls, k_main, v_cls, v_main = res
+    if jax.default_backend() == "tpu":
+        return tuple(fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main,
+                                             g, num_heads))
+    k = jnp.concatenate([k_cls, k_main], axis=1)
+    v = jnp.concatenate([v_cls, v_main], axis=1)
+    dq, dk, dv = _einsum_bwd(num_heads, 0, (q, k, v), g)
+    return dq, dk[:, :1], dk[:, 1:], dv[:, :1], dv[:, 1:]
+
+
+fused_attention_cls_ad.defvjp(_fac_fwd, _fac_bwd)
 
 
 def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,

@@ -32,15 +32,31 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     scale = hd ** -0.5
 
     q = linear(params["q"], x, lora_scaling=lora_scaling)
-    k = linear(params["k"], x, lora_scaling=lora_scaling)
-    v = linear(params["v"], x, lora_scaling=lora_scaling)
 
     if bias is None and _fused_ok(hd, N):
-        # fused kernel consumes/produces the natural [B, N, D] layout —
-        # no head transposes materialize
-        from ..kernels.flash_attention import fused_attention_ad
-        out = fused_attention_ad(q, k, v, H)
+        from ..kernels.flash_attention import (cls_split_available,
+                                               fused_attention_ad,
+                                               fused_attention_cls_ad)
+        if cls_split_available(H, hd, N):
+            # CLS-split: k/v projections run as two matmuls over
+            # x[:, :1] / x[:, 1:] (same FLOPs, no slice copies), so the
+            # kernel's score dots see an exact-lane 256-key block and the
+            # single CLS column folds in on the VPU — removes the
+            # 257->384 lane-tile padding (~1.5x MXU waste, docs/PERF.md)
+            k_cls = linear(params["k"], x[:, :1], lora_scaling=lora_scaling)
+            k_main = linear(params["k"], x[:, 1:], lora_scaling=lora_scaling)
+            v_cls = linear(params["v"], x[:, :1], lora_scaling=lora_scaling)
+            v_main = linear(params["v"], x[:, 1:], lora_scaling=lora_scaling)
+            out = fused_attention_cls_ad(q, k_cls, k_main, v_cls, v_main, H)
+        else:
+            # fused kernel consumes/produces the natural [B, N, D] layout —
+            # no head transposes materialize
+            k = linear(params["k"], x, lora_scaling=lora_scaling)
+            v = linear(params["v"], x, lora_scaling=lora_scaling)
+            out = fused_attention_ad(q, k, v, H)
     else:
+        k = linear(params["k"], x, lora_scaling=lora_scaling)
+        v = linear(params["v"], x, lora_scaling=lora_scaling)
         qh = q.reshape(B, N, H, hd)
         kh = k.reshape(B, N, H, hd)
         vh = v.reshape(B, N, H, hd)

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from missm_tpu.kernels.flash_attention import (
-    _einsum_reference, _fa_bwd, fused_attention, fused_attention_bwd,
+    _einsum_reference, _fa_bwd, cls_split_available, fused_attention,
+    fused_attention_bwd, fused_attention_cls, fused_attention_cls_bwd,
 )
 
 
@@ -56,6 +57,46 @@ def test_custom_vjp_matches_einsum_grads(rng):
     got_grads = _fa_bwd(heads, 0, (q, k, v), g)
     for a, b in zip(got_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+@pytest.mark.parametrize("n,heads", [(129, 2), (257, 4), (257, 16)])
+def test_cls_split_kernel_matches_reference(rng, n, heads):
+    """The CLS-split forward (K/V passed as [B,1,D] + [B,n-1,D]) == the
+    einsum over the concatenated sequence."""
+    D = heads * 64
+    assert cls_split_available(heads, 64, n)
+    q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    got = fused_attention_cls(q, k[:, :1], k[:, 1:], v[:, :1], v[:, 1:],
+                              heads, interpret=True)
+    ref = _einsum_reference(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("n,heads,group", [(129, 2, 2), (257, 4, 4),
+                                           (257, 16, 8)])
+def test_cls_split_bwd_matches_einsum_grads(rng, n, heads, group):
+    """CLS-split backward == autodiff of the einsum formulation, with the
+    gradients re-split into (dq, dk_cls, dk_main, dv_cls, dv_main)."""
+    D = heads * 64
+    q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_einsum_reference(q, k, v, heads) ** 2)
+
+    ref_dq, ref_dk, ref_dv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g = 2.0 * _einsum_reference(q, k, v, heads)
+    dq, dkc, dkm, dvc, dvm = fused_attention_cls_bwd(
+        q, k[:, :1], k[:, 1:], v[:, :1], v[:, 1:], g, heads, group=group,
+        interpret=True)
+    for a, b in [(dq, ref_dq), (dkc, ref_dk[:, :1]), (dkm, ref_dk[:, 1:]),
+                 (dvc, ref_dv[:, :1]), (dvm, ref_dv[:, 1:])]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3)
 
 
