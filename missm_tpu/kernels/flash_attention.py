@@ -41,15 +41,23 @@ def _block_diag_mask_f32(s, block_diag):
     return jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
 
 
+def _causal_mask_f32(s):
+    n = s.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where((c <= r)[None], s, jnp.finfo(jnp.float32).min)
+
+
 def _softmax_f32(s):
     m = jnp.max(s, axis=2, keepdims=True)
     e = jnp.exp(s - m)
     return e / jnp.sum(e, axis=2, keepdims=True)
 
 
-def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *,
-                        pairs: int, head_dim: int, scale: float,
-                        batch_block: int, block_diag: int = 0):
+def _attn_kernel_packed(q_ref, k_ref, v_ref, *rest, pairs: int,
+                        head_dim: int, scale: float, batch_block: int,
+                        block_diag: int = 0, causal: bool = False,
+                        has_kbias: bool = False):
     # Head-PAIR packing: each scratch row holds two heads' 64-lane columns
     # as one 128-lane tile, so every VMEM copy is lane-aligned (the 64-lane
     # slices of the unpacked kernel each cost a relayout — measured ~22 ms
@@ -58,6 +66,11 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *,
     # full 128 lanes — the zeros contribute nothing, and the K=128 dot runs
     # the MXU at full contraction width (the K=64 dots ran it half-empty),
     # so the doubled dot count costs the same MXU passes.
+    if has_kbias:
+        kb_ref, o_ref, qs, ks, vs = rest
+    else:
+        kb_ref = None
+        o_ref, qs, ks, vs = rest
     pw = 2 * head_dim
     n = qs.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, pw), 1)
@@ -78,6 +91,14 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *,
         s_hi = jax.lax.dot_general(
             jnp.where(lo, zero, q_all), k_all, dn_qk,
             preferred_element_type=jnp.float32) * scale
+        if kb_ref is not None:
+            # additive key-padding bias row [1, N] broadcast over P, queries
+            kb = kb_ref[b].astype(jnp.float32)[None]       # [1, 1, N]
+            s_lo = s_lo + kb
+            s_hi = s_hi + kb
+        if causal:
+            s_lo = _causal_mask_f32(s_lo)
+            s_hi = _causal_mask_f32(s_hi)
         if block_diag:
             s_lo = _block_diag_mask_f32(s_lo, block_diag)
             s_hi = _block_diag_mask_f32(s_hi, block_diag)
@@ -203,14 +224,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
 
 def fused_attention(q, k, v, num_heads: int, group: int | None = None,
                     batch_block: int = 1, block_diag: int = 0,
-                    packed: bool | None = None, interpret: bool = False):
+                    packed: bool | None = None, causal: bool = False,
+                    kbias=None, interpret: bool = False):
     """q, k, v: [B, N, D_model] (natural projection layout) ->
     out [B, N, D_model]. Scale (head_dim**-0.5) applied inside.
 
     `group` = heads per grid step; `batch_block` = images per grid step —
     both amortize grid/DMA overhead (measured best at group 16 for ViT-L
     on v5e — scripts/ablation_probe.py). `block_diag=T` confines attention
-    to T-sized blocks along the sequence (packed short-sequence mode)."""
+    to T-sized blocks along the sequence (packed short-sequence mode).
+    `causal` masks above the diagonal inside the kernel; `kbias` is an
+    optional [B, 1, N] additive key bias (padding mask) — both serve the
+    text tower, whose causal einsum path round-tripped f32 scores through
+    HBM. They require the pair-packed kernel (head_dim 64)."""
     import math
 
     B, N, D = q.shape
@@ -244,10 +270,14 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
     # MXU contractions. Fall back to the per-head kernel otherwise.
     if packed is None:
         packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
+    if (causal or kbias is not None) and not packed:
+        raise ValueError("causal/kbias need the pair-packed kernel")
     if packed:
         kernel = functools.partial(_attn_kernel_packed, pairs=group // 2,
                                    head_dim=hd, scale=hd ** -0.5,
-                                   batch_block=bb, block_diag=block_diag)
+                                   batch_block=bb, block_diag=block_diag,
+                                   causal=causal,
+                                   has_kbias=kbias is not None)
     else:
         kernel = functools.partial(_attn_kernel, group=group, head_dim=hd,
                                    scale=hd ** -0.5, batch_block=bb,
@@ -255,10 +285,16 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
     spec = pl.BlockSpec((bb, N, group * hd), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
     scratch_shape = ((group // 2, N, 2 * hd) if packed else (group, N, hd))
+    in_specs = [spec, spec, spec]
+    inputs = [q, k, v]
+    if kbias is not None:
+        in_specs.append(pl.BlockSpec((bb, 1, N), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(kbias)
     return pl.pallas_call(
         kernel,
         grid=(B // bb, num_heads // group),
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
         scratch_shapes=[pltpu.VMEM(scratch_shape, q.dtype)] * 3,
@@ -268,7 +304,7 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
             transcendentals=B * num_heads * N * N,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
 
 
 def _cls_group(num_heads: int, hd: int, N: int, group: int | None):
@@ -466,6 +502,12 @@ def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
     )(q, k_cls, k_main, v_cls, v_main, g)
 
 
+def causal_available(num_heads: int, head_dim: int, seq_len: int) -> bool:
+    """Causal/key-bias fusion needs the pair-packed kernel."""
+    return ((2 * head_dim) % 128 == 0 and head_dim % 128 != 0
+            and _cls_group(num_heads, head_dim, seq_len, None) is not None)
+
+
 def cls_split_available(num_heads: int, head_dim: int, seq_len: int) -> bool:
     """The cls-split kernels apply when the non-CLS token count is an exact
     lane multiple and heads pack in 128-lane pairs (ViT-L/14: 257, hd 64)."""
@@ -497,6 +539,38 @@ def _fac_bwd(num_heads, res, g):
 
 
 fused_attention_cls_ad.defvjp(_fac_fwd, _fac_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention_causal_ad(q, k, v, kbias, num_heads: int):
+    """Causal attention with an additive key bias [B, 1, N] (padding mask),
+    fused in VMEM — the text tower's path. Backward falls back to the XLA
+    einsum gradient (the text tower is frozen in the reference's training
+    recipe, so its attention backward is never hot — SURVEY §2 row 5g:
+    LoRA targets the vision encoder only)."""
+    return fused_attention(q, k, v, num_heads, causal=True, kbias=kbias)
+
+
+def _fca_fwd(q, k, v, kbias, num_heads):
+    return fused_attention_causal_ad(q, k, v, kbias, num_heads), (q, k, v,
+                                                                  kbias)
+
+
+def _fca_bwd(num_heads, res, g):
+    q, k, v, kbias = res
+    N = q.shape[1]
+    bias = _causal_dense_bias(N) + kbias[:, :, None, :].astype(jnp.float32)
+    dq, dk, dv = _einsum_bwd_bias(num_heads, bias, (q, k, v), g)
+    return dq, dk, dv, jnp.zeros_like(kbias)
+
+
+fused_attention_causal_ad.defvjp(_fca_fwd, _fca_bwd)
+
+
+def _causal_dense_bias(n: int):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.where(c <= r, 0.0, jnp.finfo(jnp.float32).min)[None, None]
 
 
 def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
@@ -705,6 +779,12 @@ def _fa_bwd(num_heads, block_diag, res, g):
 
 
 def _einsum_bwd(num_heads, block_diag, res, g):
+    bias = (_block_diag_bias(res[0].shape[1], block_diag)[None, None]
+            if block_diag else None)
+    return _einsum_bwd_bias(num_heads, bias, res, g)
+
+
+def _einsum_bwd_bias(num_heads, bias, res, g):
     q, k, v = res
     B, N, D = q.shape
     hd = D // num_heads
@@ -715,8 +795,8 @@ def _einsum_bwd(num_heads, block_diag, res, g):
     gh = g.reshape(B, N, num_heads, hd).astype(jnp.float32)
 
     s = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
-    if block_diag:
-        s = s + _block_diag_bias(N, block_diag)[None, None]
+    if bias is not None:
+        s = s + bias
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, gh)
     dp = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)

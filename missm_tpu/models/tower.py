@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import TextConfig, TowerConfig, VisionConfig
-from ..ops.attention import causal_bias, multi_head_attention
+from ..ops.attention import multi_head_attention
 from ..ops.basic import get_activation, layer_norm, linear
 
 
@@ -230,8 +230,8 @@ def inject_lora(key, vision_params, cfg: VisionConfig, dtype=jnp.float32):
 # Forward
 # ---------------------------------------------------------------------------
 
-def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
-                   lora_scaling=None, remat=False):
+def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
+                   key_bias=None, time=None, lora_scaling=None, remat=False):
     """One pre-LN transformer block; optional factorized temporal attention.
 
     time: None for text / single-frame paths; else a tuple (T, N) with the
@@ -282,7 +282,9 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
         res = h
         hn = layer_norm(p["ln1"], h, eps)
         hn = multi_head_attention(p["attn"], hn, num_heads=num_heads,
-                                  bias=bias, lora_scaling=spatial_lora)
+                                  bias=bias, causal=causal,
+                                  key_bias=key_bias,
+                                  lora_scaling=spatial_lora)
         from jax.ad_checkpoint import checkpoint_name
         hn = checkpoint_name(hn, "attn_out")
         h = res + hn
@@ -319,13 +321,14 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, time=None,
     return run(p, x)
 
 
-def _encoder(blocks, x, *, num_heads, act, eps, bias=None, time=None,
-             lora_scaling=None, remat=False):
+def _encoder(blocks, x, *, num_heads, act, eps, bias=None, causal=False,
+             key_bias=None, time=None, lora_scaling=None, remat=False):
     """Scan the stacked blocks over the layer axis."""
 
     def body(h, p):
         return _block_forward(p, h, num_heads=num_heads, act=act, eps=eps,
-                              bias=bias, time=time, lora_scaling=lora_scaling,
+                              bias=bias, causal=causal, key_bias=key_bias,
+                              time=time, lora_scaling=lora_scaling,
                               remat=remat), None
 
     x, _ = jax.lax.scan(body, x, blocks)
@@ -346,14 +349,17 @@ def text_features(params, cfg: TextConfig, input_ids, attention_mask=None, *,
     B, L = input_ids.shape
     x = params["token_embedding"][input_ids]
     x = x + params["position_embedding"][:L][None]
-    bias = causal_bias(L, dtype=jnp.float32)
+    # causal + padding masks are passed structurally so the TPU path can
+    # fuse them into the attention kernel (ops.attention routes to
+    # fused_attention_causal_ad; the einsum fallback composes the same
+    # dense bias the reference builds at image/modeling_image.py:441-455)
+    key_bias = None
     if attention_mask is not None:
         neg = jnp.finfo(jnp.float32).min
-        pad = jnp.where(attention_mask[:, None, None, :] == 0, neg, 0.0)
-        bias = bias + pad
+        key_bias = jnp.where(attention_mask[:, None, :] == 0, neg, 0.0)
     x = _encoder(params["blocks"], x, num_heads=cfg.num_heads,
                  act=get_activation(cfg.hidden_act), eps=cfg.layer_norm_eps,
-                 bias=bias, remat=remat)
+                 causal=True, key_bias=key_bias, remat=remat)
     x = layer_norm(params["final_ln"], x, cfg.layer_norm_eps)
     # EOT pooling: argmax of token ids (EOT has the highest id in CLIP's
     # vocab; reference :519-522). argmax picks the first occurrence, matching

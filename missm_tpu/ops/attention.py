@@ -15,16 +15,19 @@ from .basic import linear
 
 
 def multi_head_attention(params, x, *, num_heads: int, bias=None,
+                         causal: bool = False, key_bias=None,
                          lora_scaling: float | None = None):
     """Self-attention over x: [B, N, D] -> [B, N, D].
 
-    bias: optional additive attention bias broadcastable to [B, H, N, N]
-    (e.g. a causal mask of -inf above the diagonal, or a key-padding mask).
+    bias: optional additive attention bias broadcastable to [B, H, N, N].
+    causal/key_bias: structured masks (the text tower's causal mask and
+    [B, 1, N] padding bias) — kept separate from `bias` so the TPU path
+    can apply them INSIDE the fused kernel instead of falling back to the
+    einsum formulation, whose f32 [B, H, N, N] scores round-trip HBM.
 
-    Bias-free attention on TPU routes through the fused Pallas kernel
-    (kernels.flash_attention): the [N, N] score matrix stays in VMEM
-    instead of round-tripping HBM per layer. The biased path (text causal
-    mask, 77 tokens) stays on XLA einsums.
+    Bias-free and causal attention on TPU route through the fused Pallas
+    kernel (kernels.flash_attention): the [N, N] score matrix stays in
+    VMEM. Dense-`bias` attention stays on XLA einsums.
     """
     B, N, D = x.shape
     H = num_heads
@@ -33,7 +36,18 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
 
     q = linear(params["q"], x, lora_scaling=lora_scaling)
 
-    if bias is None and _fused_ok(hd, N):
+    if bias is None and (causal or key_bias is not None) and _fused_ok(hd, N):
+        from ..kernels.flash_attention import (causal_available,
+                                               fused_attention_causal_ad)
+        if causal and causal_available(H, hd, N):
+            k = linear(params["k"], x, lora_scaling=lora_scaling)
+            v = linear(params["v"], x, lora_scaling=lora_scaling)
+            kb = (key_bias if key_bias is not None
+                  else jnp.zeros((B, 1, N), jnp.float32))
+            out = fused_attention_causal_ad(q, k, v, kb, H)
+            return linear(params["out"], out, lora_scaling=lora_scaling)
+
+    if bias is None and not causal and key_bias is None and _fused_ok(hd, N):
         from ..kernels.flash_attention import (cls_split_available,
                                                fused_attention_ad,
                                                fused_attention_cls_ad)
@@ -55,6 +69,12 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
             v = linear(params["v"], x, lora_scaling=lora_scaling)
             out = fused_attention_ad(q, k, v, H)
     else:
+        if causal:
+            cb = causal_bias(N, dtype=jnp.float32)
+            bias = cb if bias is None else bias + cb
+        if key_bias is not None:
+            kb = key_bias[:, :, None, :].astype(jnp.float32)  # [B, 1, 1, N]
+            bias = kb if bias is None else bias + kb
         k = linear(params["k"], x, lora_scaling=lora_scaling)
         v = linear(params["v"], x, lora_scaling=lora_scaling)
         qh = q.reshape(B, N, H, hd)

@@ -40,15 +40,25 @@ def linear(params, x, *, lora_scaling: float | None = None):
     """y = x @ w (+ b) with optional merged-at-apply-time LoRA delta.
 
     `params['w']`: (in, out). Optional `params['b']`: (out,).
-    Optional `params['lora_a']`: (in, r), `params['lora_b']`: (r, out) — the
-    delta `x @ a @ b * scaling` mirrors peft's LoRA on the reference's vision
-    attention (reference image/modeling_image.py:775-793).
+    Optional `params['lora_a']`: (in, r), `params['lora_b']`: (r, out) —
+    mirrors peft's LoRA on the reference's vision attention (reference
+    image/modeling_image.py:775-793; lora_dropout defaults to 0, so the
+    adapter is the pure linear delta `x @ a @ b * scaling`).
+
+    The delta is FOLDED into the weight (w + a @ b * scaling) rather than
+    applied as `(x @ a) @ b`: rank-r (r=2) per-token matmuls pad their
+    2-wide axis to full MXU tiles — measured ~9 ms of the ViT-L b64 step —
+    while the fold is one [in, r] x [r, out] dot per layer per step (peft's
+    own merge_and_unload math). Gradients are unchanged in structure:
+    da = dw_eff @ b^T, db = a^T @ dw_eff, and at init (b == 0) the folded
+    weight equals the base weight bit-for-bit.
     """
-    y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    w = params["w"]
     if lora_scaling is not None and "lora_a" in params:
-        y = y + jnp.dot(
-            jnp.dot(x, params["lora_a"], preferred_element_type=jnp.float32),
-            params["lora_b"], preferred_element_type=jnp.float32) * lora_scaling
+        delta = jnp.dot(params["lora_a"], params["lora_b"],
+                        preferred_element_type=jnp.float32)
+        w = (w.astype(jnp.float32) + delta * lora_scaling).astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y.astype(x.dtype)

@@ -100,6 +100,39 @@ def test_cls_split_bwd_matches_einsum_grads(rng, n, heads, group):
                                    rtol=1e-3)
 
 
+@pytest.mark.parametrize("n,heads", [(77, 12), (64, 2)])
+@pytest.mark.parametrize("with_pad", [False, True])
+def test_causal_kernel_matches_dense_bias_einsum(rng, n, heads, with_pad):
+    """Fused causal (+ key-padding bias) == einsum with the dense composed
+    mask — the text tower's attention."""
+    from missm_tpu.ops.attention import causal_bias
+    D = heads * 64
+    q = jnp.asarray(rng.standard_normal((3, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((3, n, D)).astype(np.float32))
+    lengths = rng.integers(4, n, size=3)
+    neg = np.finfo(np.float32).min
+    kb = np.zeros((3, 1, n), np.float32)
+    if with_pad:
+        for i, L in enumerate(lengths):
+            kb[i, 0, L:] = neg
+    got = fused_attention(q, k, v, heads, causal=True,
+                          kbias=jnp.asarray(kb), interpret=True)
+
+    # dense-bias einsum reference
+    hd = 64
+    qh = (q * hd ** -0.5).reshape(3, n, heads, hd)
+    kh = k.reshape(3, n, heads, hd)
+    vh = v.reshape(3, n, heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh)
+    s = s + causal_bias(n) + jnp.asarray(kb)[:, :, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(3, n, D)
+    # padded-out query rows attend to nothing real; compare on valid rows
+    got_np, ref_np = np.asarray(got), np.asarray(ref)
+    np.testing.assert_allclose(got_np, ref_np, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("n,heads,group,block_diag", [
     (16, 2, 1, 0), (257, 8, 4, 0), (128, 4, 2, 8),
     # even groups -> the head-pair-packed backward
