@@ -245,37 +245,44 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
         if time is not None:
             T, N = time
             spatial_lora = None  # LoRA moves to temporal modules (ref :775-783)
+            D = h.shape[-1]
             if T != 1:
-                # per-layer temporal position embedding (ref :110-114)
-                ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
-                ht = ht + p["temporal_embedding"][:T][None, None]
-                h = ht.transpose(0, 2, 1, 3).reshape(-1, N, h.shape[-1])
+                # per-layer temporal position embedding (ref :110-114) —
+                # a [1,T,1,D] broadcast in the native [B,T,N,D] layout; the
+                # reference transposes to frame-minor first, but the add is
+                # elementwise so no relayout is needed.
+                h = (h.reshape(-1, T, N, D)
+                     + p["temporal_embedding"][:T][None, :, None]
+                     ).reshape(-1, N, D)
             # temporal attention over the frame axis (ref :117-127);
-            # tiny-T instances are MXU-packed (ops.attention.short_attention)
+            # tiny-T instances are MXU-packed (ops.attention.short_attention).
+            # tln1 is rowwise over D (layout-agnostic) — apply it BEFORE the
+            # [B,T,N,D]->[B,N,T,D] relayout so XLA fuses it with the
+            # embedding add and only the normalized copy is transposed.
             from ..ops.attention import short_attention
             res = h
-            ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
-            ht = ht.reshape(-1, T, h.shape[-1])
-            ht = layer_norm(p["tln1"], ht, eps)
+            ht = layer_norm(p["tln1"], h, eps)
+            ht = ht.reshape(-1, T, N, D).transpose(0, 2, 1, 3)
+            ht = ht.reshape(-1, T, D)
             ht = short_attention(p["tattn"], ht, num_heads=num_heads,
                                  lora_scaling=lora_scaling)
             ht = ht.reshape(-1, N, T, ht.shape[-1]).transpose(0, 2, 1, 3)
             h = res + ht.reshape(-1, N, ht.shape[-1])
             if "tmlp" in p:
                 # temporal MLP — live in image/audio/depth/thermal towers,
-                # disabled in video (ref video/modeling_video.py:189-190)
+                # disabled in video (ref video/modeling_video.py:189-190).
+                # Every op here (LN, fc1, act, fc2) is per-token over D, so
+                # the reference's [B,N,T,D] round-trip is pure relayout
+                # cost; run it directly on the [(B*T), N, D] stream.
                 from jax.ad_checkpoint import checkpoint_name
                 res = h
-                ht = h.reshape(-1, T, N, h.shape[-1]).transpose(0, 2, 1, 3)
-                ht = ht.reshape(-1, T, h.shape[-1])
-                ht = layer_norm(p["tln2"], ht, eps)
+                ht = layer_norm(p["tln2"], h, eps)
                 wide = checkpoint_name(
                     linear(p["tmlp"]["fc1"], ht, lora_scaling=lora_scaling),
                     "mlp_wide")
                 wide = checkpoint_name(act(wide), "mlp_wide_act")
                 ht = linear(p["tmlp"]["fc2"], wide, lora_scaling=lora_scaling)
-                ht = ht.reshape(-1, N, T, ht.shape[-1]).transpose(0, 2, 1, 3)
-                h = res + ht.reshape(-1, N, ht.shape[-1])
+                h = res + ht
         else:
             spatial_lora = lora_scaling
         # spatial / sequence attention + MLP (ref :136-151)
