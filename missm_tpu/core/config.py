@@ -73,6 +73,11 @@ class VisionConfig:
     lora_r: int = 2
     lora_alpha: int = 16
     lora_dropout: float = 0.0
+    # TPU scheduling knob (no reference counterpart): max ViT instances per
+    # sequential chunk inside vision_features; None -> 64 * device_count
+    # (64-instance programs measure ~13% faster per instance than 128 on
+    # v5e — scripts/video_pieces_probe.py).
+    chunk_instances: int | None = None
 
     @property
     def grid(self) -> Tuple[int, int]:

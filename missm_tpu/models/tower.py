@@ -418,29 +418,86 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
 
     Shape dispatch mirrors reference image/modeling_image.py:630-643; pooling
     is CLS -> post-LN -> mean over frames (:659-662).
+
+    Large batches are processed in whole-video chunks of ~64 ViT instances
+    per device: the composed transformer block measures ~13% slower per
+    instance at 128 instances than at 64 on v5e (XLA schedules the b64
+    shapes better — scripts/video_pieces_probe.py), so a 16-video 8-frame
+    batch runs as two sequential 64-instance programs inside the same jit.
+    A single chunk passes through unchanged (identical rng/dropout stream).
     """
     if pixel_values.ndim == 7:
+        inst_per = pixel_values.shape[1] * pixel_values.shape[2] * \
+            pixel_values.shape[3]
+    elif pixel_values.ndim == 5:
+        t_raw = pixel_values.shape[2]
+        inst_per = (t_raw // cfg.tube_size) if cfg.use_tube3d else t_raw
+    else:
+        inst_per = 1
+    chunk_inst = cfg.chunk_instances or 64 * jax.device_count()
+    bv = pixel_values.shape[0]
+    per_chunk = max(1, chunk_inst // max(inst_per, 1))
+    if bv > per_chunk:
+        n_chunks = -(-bv // per_chunk)
+        keys = (jax.random.split(rng, n_chunks) if rng is not None
+                else [None] * n_chunks)
+        pooled = jnp.concatenate([
+            _vision_features_chunk(params, cfg,
+                                   pixel_values[i * per_chunk:
+                                                (i + 1) * per_chunk],
+                                   train=train, rng=keys[i], remat=remat,
+                                   projection=projection)
+            for i in range(n_chunks)], axis=0)
+        return pooled
+    return _vision_features_chunk(params, cfg, pixel_values, train=train,
+                                  rng=rng, remat=remat, projection=projection)
+
+
+def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
+                           train=False, rng=None, remat=False,
+                           projection=None):
+    if pixel_values.ndim == 7:
         # (b, pair, T, bs, c, h, w) — the reference's 7-D retrieval-pair
-        # layout (image/modeling_image.py:630-634): flatten to (B*T, C, H, W)
+        # layout (image/modeling_image.py:630-634): flatten to (B, T, C, H, W)
         b_new, pair, T, bs, C, H, W = pixel_values.shape
         B = b_new * pair * bs
         frames = pixel_values.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
             B, T, C, H, W)
+        lhs, dims = frames, ("NTCHW", "ITHWO", "NTHWC")
     elif pixel_values.ndim == 5:
         B, C, T, H, W = pixel_values.shape
-        frames = pixel_values.transpose(0, 2, 1, 3, 4)  # B T C H W
+        # native channels-first layout: the frame-major transpose the
+        # patchify formulation needed disappears into the conv's im2col
+        lhs, dims = pixel_values, ("NCTHW", "ITHWO", "NTHWC")
     else:
         B, C, H, W = pixel_values.shape
         T = 1
-        frames = pixel_values[:, None]
+        lhs, dims = pixel_values[:, None], ("NTCHW", "ITHWO", "NTHWC")
 
     d = cfg.hidden_size
+    # Patch embedding as a strided XLA conv (stride == window, so it lowers
+    # to an MXU matmul with the im2col gather fused) — the explicit
+    # _patchify2d/3d transpose produces 14-element minor dims, a measured
+    # ~1.8x slower relayout (scripts/video_pieces_probe.py). Weight stays
+    # in the torch (D, C[, tube], p, p) flattening used by the converter.
+    p_sz = cfg.patch_size
     if cfg.use_tube3d:
-        patches = _patchify3d(frames, cfg.patch_size, cfg.tube_size)
-        emb = jnp.einsum("btnp,pd->btnd", patches, params["patch_embedding"]["w"],
-                         preferred_element_type=jnp.float32).astype(
-                             pixel_values.dtype)
-        T_eff = T // cfg.tube_size
+        w = params["patch_embedding"]["w"].reshape(
+            C, cfg.tube_size, p_sz, p_sz, d)
+        strides = (cfg.tube_size, p_sz, p_sz)
+    else:
+        w = params["patch_embedding"]["w"].reshape(C, p_sz, p_sz, d)[:, None]
+        strides = (1, p_sz, p_sz)
+    # No preferred_element_type: the MXU accumulates bf16 convs in f32
+    # regardless and the old dot formulation rounded straight back to the
+    # input dtype; a f32 output here would also make the conv VJP mix a
+    # f32 cotangent with bf16 operands, which lax.conv rejects.
+    emb = jax.lax.conv_general_dilated(
+        lhs, w.astype(lhs.dtype), window_strides=strides, padding="VALID",
+        dimension_numbers=dims)                      # [B, T', gh, gw, d]
+    T_eff = emb.shape[1]
+    if cfg.use_tube3d:
+        emb = emb.reshape(B, T_eff, -1, d)
         cls = jnp.broadcast_to(params["class_embedding"][None, :, None, :],
                                (B, T_eff, 1, d))
         x = jnp.concatenate([cls, emb], axis=2)
@@ -448,11 +505,7 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
         x = x.reshape(B * T_eff, -1, d)
         T = T_eff
     else:
-        flat = frames.reshape(B * T, C, H, W)
-        patches = _patchify2d(flat, cfg.patch_size)
-        emb = jnp.dot(patches, params["patch_embedding"]["w"],
-                      preferred_element_type=jnp.float32).astype(
-                          pixel_values.dtype)
+        emb = emb.reshape(B * T, -1, d)
         cls = jnp.broadcast_to(params["class_embedding"][None, None, :],
                                (B * T, 1, d))
         x = jnp.concatenate([cls, emb], axis=1)

@@ -103,7 +103,8 @@ def short_attention(params, x, *, num_heads: int,
     Falls back to the einsum path elsewhere."""
     M, T, D = x.shape
     hd = D // num_heads
-    if (not _fused_ok(hd, pack_to) or T >= pack_to or pack_to % T != 0):
+    if (not _fused_ok(hd, pack_to) or T >= pack_to or pack_to % T != 0
+            or M < pack_to // T):
         return multi_head_attention(params, x, num_heads=num_heads,
                                     lora_scaling=lora_scaling)
 
@@ -112,16 +113,22 @@ def short_attention(params, x, *, num_heads: int,
     v = linear(params["v"], x, lora_scaling=lora_scaling)
 
     pack = pack_to // T
-    m_pad = -(-M // pack) * pack
+    full = (M // pack) * pack
 
-    def repack(t):
-        if m_pad != M:
-            t = jnp.pad(t, ((0, m_pad - M), (0, 0), (0, 0)))
-        return t.reshape(m_pad // pack, pack * T, D)
+    from ..kernels.flash_attention import _einsum_reference, fused_attention_ad
 
-    from ..kernels.flash_attention import fused_attention_ad
-    out = fused_attention_ad(repack(q), repack(k), repack(v), num_heads, T)
-    out = out.reshape(m_pad, T, D)[:M]
+    def packed(t):
+        return t[:full].reshape(full // pack, pack * T, D)
+
+    out = fused_attention_ad(packed(q), packed(k), packed(v), num_heads, T)
+    out = out.reshape(full, T, D)
+    if full != M:
+        # Remainder instances (< pack) run on the einsum path: padding M up
+        # to a pack multiple instead would jnp.pad each of q/k/v — three
+        # full-tensor HBM copies per call — while the tail is at most 15
+        # tiny T-token instances.
+        tail = _einsum_reference(q[full:], k[full:], v[full:], num_heads)
+        out = jnp.concatenate([out, tail], axis=0)
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 

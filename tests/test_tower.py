@@ -182,3 +182,21 @@ def test_lora_params_present_and_zero_delta():
     params2 = dict(params, vision=dict(params["vision"], blocks=blk))
     out2 = vision_features(params2["vision"], cfg_lora.vision, px)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_vision_chunking_equivalence():
+    """Chunked execution (64-instance programs on TPU) is numerically
+    identical to the single-program path in eval mode, including an
+    uneven final chunk."""
+    import dataclasses
+    cfg = tiny_tower("video")
+    params = init_tower_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (5, 3, 4, 32, 32)), jnp.float32)  # 5 videos x 4 frames = 20 inst
+    whole = vision_features(params["vision"], cfg.vision, px,
+                            projection=params["visual_projection"])
+    ccfg = dataclasses.replace(cfg.vision, chunk_instances=8)  # 2-video chunks
+    chunked = vision_features(params["vision"], ccfg, px,
+                              projection=params["visual_projection"])
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
+                               rtol=0, atol=1e-6)
