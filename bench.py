@@ -9,10 +9,22 @@ estimate of the reference stack (PyTorch eager, bf16) on A100-80GB —
 derivation in docs/BASELINE_ESTIMATE.md. The reference itself publishes
 no numbers (BASELINE.md).
 
+Timing methodology (round 2, third pass): `iters` steps run INSIDE one
+jitted `lax.fori_loop` — one dispatch, one scalar readback — because on
+the tunneled platform every host-issued dispatch costs ~25 ms whether or
+not anything is read back (a 2.2 ms text tower measures 28 ms/iter from
+a host loop; scripts/temporal_pieces_probe.py history in docs/PERF.md).
+Host-loop chaining therefore under-reports chip throughput by ~25 ms per
+step; the in-jit loop measures the pure device rate, which is what a
+production (local-host) deployment gets. Iterations stay honest inside
+the loop: each step consumes a data tensor chained to the previous
+step's loss and a rotating dropout mask, so XLA cannot elide or batch
+the steps.
+
 Workloads (LanguageBind-Large scale, bf16, random modality-dropout codes):
 - eval:  ViT-L/14 image tower + CLIP text tower + sum fusion, batch 64
 - train: same model, Adam, LoRA-frozen base, save_attn_mlp remat, batch 64
-- eval3: video (8-frame tube + temporal attn) + audio (112x1036 mel) +
+- eval3: video (8-frame + temporal attn) + audio (112x1036 mel) +
   language towers + sum fusion, batch 16
 """
 from __future__ import annotations
@@ -35,57 +47,61 @@ def _text_ids(rng, B):
     return ids
 
 
-def _chain(x, out):
-    """Carry a zero-valued dependency on `out` into the next iteration's
-    input: the tunneled platform's block_until_ready does not synchronize
-    and unfetched results may evaluate lazily, so iterations are chained
-    and ONE final readback forces the device work (per-step readbacks add
-    ~25 ms tunnel RTT each)."""
+def _time_loop(loop, *args):
+    """Compile+warm with one call, then time the second; one readback."""
     import jax.numpy as jnp
-    return x + out["loss"].astype(x.dtype) * 0
+    float(jnp.asarray(loop(*args), jnp.float32))
+    t0 = time.perf_counter()
+    float(jnp.asarray(loop(*args), jnp.float32))
+    return time.perf_counter() - t0
 
 
-def bench_eval(jnp, jax, iters=20, B=64):
-    from missm_tpu.core.config import languagebind_large
+def _eval_model(jnp, jax, towers, modality_types, B, data_extra):
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
-    from missm_tpu.train.step import make_eval_step
 
-    towers = (("image", languagebind_large("image")),)
-    fusion = FusionConfig(fusion_type="sum",
-                          modality_types=("language", "image"),
+    fusion = FusionConfig(fusion_type="sum", modality_types=modality_types,
                           output_dims=10, feature_dims=768, fusion_dim=256)
     cfg = ModelConfig(towers=towers, fusion=fusion)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, params)
-
     rng = np.random.default_rng(0)
-    data = {
-        "language": jnp.asarray(_text_ids(rng, B)),
-        "image": jnp.asarray(rng.standard_normal((B, 3, 224, 224)),
-                             dtype=jnp.bfloat16),
-    }
+    data = {"language": jnp.asarray(_text_ids(rng, B))}
+    data.update({k: jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+                 for k, shape in data_extra.items()})
     labels = jnp.asarray(rng.integers(0, 10, B), jnp.int32)
-    masks = [jnp.asarray(rng.choice([0, 1, 4], B), jnp.int32)
-             for _ in range(4)]
+    return cfg, params, data, labels, rng
+
+
+def bench_eval(jnp, jax, iters=20, B=64):
+    from missm_tpu.core.config import languagebind_large
+    from missm_tpu.train.step import make_eval_step
+
+    towers = (("image", languagebind_large("image")),)
+    cfg, params, data, labels, rng = _eval_model(
+        jnp, jax, towers, ("language", "image"), B,
+        {"image": (B, 3, 224, 224)})
+    masks = jnp.stack([jnp.asarray(rng.choice([0, 1, 4], B), jnp.int32)
+                       for _ in range(4)])
     eval_step = make_eval_step(cfg)
 
-    img = data["image"]
-    for i in range(3):  # compile + warmup
-        out = eval_step(params, dict(data, image=img), labels,
-                        masks[i % len(masks)])
-        img = _chain(img, out)
-    float(out["loss"])
+    @jax.jit
+    def loop(params, data, labels, masks):
+        def body(i, carry):
+            chain, acc = carry
+            out = eval_step(params, dict(data, image=chain), labels,
+                            masks[i % 4])
+            acc = acc + out["loss"].astype(jnp.float32)
+            chain = chain + (out["loss"] * 0).astype(chain.dtype)
+            return (chain, acc)
+        _, acc = jax.lax.fori_loop(0, iters, body,
+                                   (data["image"], jnp.float32(0)))
+        return acc
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = eval_step(params, dict(data, image=img), labels,
-                        masks[i % len(masks)])
-        img = _chain(img, out)
-    float(out["loss"])
-    return B * iters / (time.perf_counter() - t0)
+    dt = _time_loop(loop, params, data, labels, masks)
+    return B * iters / dt
 
 
 def bench_train(jnp, jax, iters=10, B=64):
@@ -114,62 +130,48 @@ def bench_train(jnp, jax, iters=10, B=64):
     missing = jnp.asarray(rng.choice([0, 1, 4], B), jnp.int32)
     key = jax.random.PRNGKey(0)
 
-    for _ in range(2):  # compile + warmup (state carries the dependency)
-        state, m = step(state, data, labels, missing, 1e-4, key)
-    float(m["loss"])
+    @jax.jit
+    def loop(state, data, labels, missing, key):
+        def body(i, carry):
+            state, acc = carry
+            state, m = step(state, data, labels, missing, 1e-4, key)
+            return (state, acc + m["loss"].astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+        return acc
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, data, labels, missing, 1e-4, key)
-    float(m["loss"])
-    return B * iters / (time.perf_counter() - t0)
+    dt = _time_loop(loop, state, data, labels, missing, key)
+    return B * iters / dt
 
 
 def bench_eval3(jnp, jax, iters=10, B=16):
     from missm_tpu.core.config import languagebind_large
-    from missm_tpu.models.finetune import ModelConfig, init_model_params
-    from missm_tpu.models.fusion import FusionConfig
     from missm_tpu.train.step import make_eval_step
 
     towers = (("video", languagebind_large("video")),
               ("audio", languagebind_large("audio")))
-    fusion = FusionConfig(fusion_type="sum",
-                          modality_types=("language", "video", "audio"),
-                          output_dims=10, feature_dims=768, fusion_dim=256)
-    cfg = ModelConfig(towers=towers, fusion=fusion)
-    params = init_model_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, params)
-
-    rng = np.random.default_rng(0)
-    data = {
-        "language": jnp.asarray(_text_ids(rng, B)),
-        "video": jnp.asarray(rng.standard_normal((B, 3, 8, 224, 224)),
-                             dtype=jnp.bfloat16),
-        "audio": jnp.asarray(rng.standard_normal((B, 3, 112, 1036)),
-                             dtype=jnp.bfloat16),
-    }
-    labels = jnp.asarray(rng.integers(0, 10, B), jnp.int32)
+    cfg, params, data, labels, rng = _eval_model(
+        jnp, jax, towers, ("language", "video", "audio"), B,
+        {"video": (B, 3, 8, 224, 224), "audio": (B, 3, 112, 1036)})
     # dropout codes over 3 modalities (full/miss-one patterns)
-    masks = [jnp.asarray(rng.choice([0, 1, 2, 3], B), jnp.int32)
-             for _ in range(4)]
+    masks = jnp.stack([jnp.asarray(rng.choice([0, 1, 2, 3], B), jnp.int32)
+                       for _ in range(4)])
     eval_step = make_eval_step(cfg)
 
-    vid = data["video"]
-    for i in range(2):
-        out = eval_step(params, dict(data, video=vid), labels,
-                        masks[i % len(masks)])
-        vid = _chain(vid, out)
-    float(out["loss"])
+    @jax.jit
+    def loop(params, data, labels, masks):
+        def body(i, carry):
+            chain, acc = carry
+            out = eval_step(params, dict(data, video=chain), labels,
+                            masks[i % 4])
+            acc = acc + out["loss"].astype(jnp.float32)
+            chain = chain + (out["loss"] * 0).astype(chain.dtype)
+            return (chain, acc)
+        _, acc = jax.lax.fori_loop(0, iters, body,
+                                   (data["video"], jnp.float32(0)))
+        return acc
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = eval_step(params, dict(data, video=vid), labels,
-                        masks[i % len(masks)])
-        vid = _chain(vid, out)
-    float(out["loss"])
-    return B * iters / (time.perf_counter() - t0)
+    dt = _time_loop(loop, params, data, labels, masks)
+    return B * iters / dt
 
 
 def main():
@@ -179,10 +181,14 @@ def main():
     from missm_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    import sys
     n = jax.device_count()
     ev = bench_eval(jnp, jax) / n
+    print(f"eval: {ev:.2f}", file=sys.stderr, flush=True)
     tr = bench_train(jnp, jax) / n
+    print(f"train: {tr:.2f}", file=sys.stderr, flush=True)
     e3 = bench_eval3(jnp, jax) / n
+    print(f"eval3: {e3:.2f}", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "eval_samples_per_sec_per_chip",
