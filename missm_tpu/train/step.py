@@ -37,24 +37,48 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def partition_params(params, cfg: ModelConfig):
+    """Split `params` into (treedef, trainable, frozen) where trainable /
+    frozen are flat leaf lists with `None` in the other side's slots (each a
+    valid pytree). The train step differentiates ONLY the trainable list:
+    frozen leaves enter the loss as non-differentiated constants, so JAX's
+    scan transpose never emits their dW cotangent matmuls — the TPU
+    equivalent of torch autograd skipping `requires_grad=False` weights
+    (peft freeze, reference image/modeling_image.py:775-793). For the
+    LoRA-frozen ViT the spatial MLP (2/3 of block matmul FLOPs) carries no
+    LoRA, so its xT@dy products vanish from the backward entirely."""
+    labels = param_labels(params, cfg)
+    p_flat, treedef = jax.tree_util.tree_flatten(params)
+    l_flat = jax.tree_util.tree_flatten(labels)[0]
+    trainable = [p if l == TRAIN else None for p, l in zip(p_flat, l_flat)]
+    frozen = [None if l == TRAIN else p for p, l in zip(p_flat, l_flat)]
+    return treedef, trainable, frozen
+
+
+def combine_params(treedef, trainable, frozen):
+    return treedef.unflatten([f if t is None else t
+                              for t, f in zip(trainable, frozen)])
+
+
 def make_optimizer(params, cfg: ModelConfig, *, b1=0.9, b2=0.999, eps=1e-8,
                    weight_decay: float = 0.0):
     """torch.optim.Adam equivalence: L2 weight decay added to the gradient
-    before the moment updates (train_ddp.py:205). Frozen (peft-base) params
-    get zero updates via multi_transform."""
+    before the moment updates (train_ddp.py:205). The transform runs on the
+    trainable partition only — frozen (peft-base) params are never
+    differentiated nor updated, mirroring the reference's
+    `Adam(filter(lambda p: p.requires_grad, ...))` construction."""
     chain = []
     if weight_decay:
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
-    labels = param_labels(params, cfg)
-    return optax.multi_transform(
-        {TRAIN: optax.chain(*chain), "frozen": optax.set_to_zero()}, labels)
+    return optax.chain(*chain)
 
 
 def init_train_state(params, cfg: ModelConfig, *, weight_decay: float = 0.0,
                      teacher_fusion=None) -> tuple[TrainState, Any]:
     tx = make_optimizer(params, cfg, weight_decay=weight_decay)
-    state = TrainState(params=params, opt_state=tx.init(params),
+    _, trainable, _ = partition_params(params, cfg)
+    state = TrainState(params=params, opt_state=tx.init(trainable),
                        teacher_fusion=teacher_fusion,
                        step=jnp.zeros((), jnp.int32))
     return state, tx
@@ -98,12 +122,19 @@ def make_train_step(cfg: ModelConfig, tx):
     ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
 
     def step_fn(state: TrainState, data, labels, missing_index, lr, rng):
+        treedef, trainable, frozen = partition_params(state.params, cfg)
+
+        def loss_fn(trainable):
+            params = combine_params(treedef, trainable, frozen)
+            return compute_loss(params, state.teacher_fusion, cfg, data,
+                                labels, missing_index, rng)
+
         (loss, logits), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params, state.teacher_fusion,
-                                        cfg, data, labels, missing_index, rng)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            loss_fn, has_aux=True)(trainable)
+        updates, new_opt = tx.update(grads, state.opt_state, trainable)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-        new_params = optax.apply_updates(state.params, updates)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = combine_params(treedef, new_trainable, frozen)
 
         teacher = state.teacher_fusion
         if ema_decay is not None:

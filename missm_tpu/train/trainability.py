@@ -19,7 +19,8 @@ FROZEN = "frozen"
 
 def param_labels(params, cfg: ModelConfig):
     """A pytree of {'train','frozen'} labels matching `params` structure,
-    suitable for optax.multi_transform."""
+    consumed by `train.step.partition_params` (frozen leaves are excluded
+    from differentiation and from the optimizer entirely)."""
 
     def label_tree(tree, label):
         return jax.tree_util.tree_map(lambda _: label, tree)
