@@ -174,6 +174,22 @@ def bench_eval3(jnp, jax, iters=10, B=16):
     return B * iters / dt
 
 
+def _retry(fn, tag, tries=3):
+    """The tunneled TPU occasionally fails a readback with a transient
+    FAILED_PRECONDITION (e.g. after an earlier interrupted execution left
+    the chip mid-program); retry rather than lose the round's number."""
+    import sys
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # jax runtime errors share no useful base
+            if i == tries - 1:
+                raise
+            print(f"{tag}: retry {i + 1} after {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            time.sleep(10)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -183,11 +199,11 @@ def main():
 
     import sys
     n = jax.device_count()
-    ev = bench_eval(jnp, jax) / n
+    ev = _retry(lambda: bench_eval(jnp, jax), "eval") / n
     print(f"eval: {ev:.2f}", file=sys.stderr, flush=True)
-    tr = bench_train(jnp, jax) / n
+    tr = _retry(lambda: bench_train(jnp, jax), "train") / n
     print(f"train: {tr:.2f}", file=sys.stderr, flush=True)
-    e3 = bench_eval3(jnp, jax) / n
+    e3 = _retry(lambda: bench_eval3(jnp, jax), "eval3") / n
     print(f"eval3: {e3:.2f}", file=sys.stderr, flush=True)
 
     print(json.dumps({

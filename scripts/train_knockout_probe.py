@@ -43,6 +43,7 @@ def _timed(tag, loop, *args):
 
 
 def main():
+    run = set(sys.argv[1:]) or {"full", "grads", "fusion", "fwd"}
     enable_compilation_cache()
     towers = (("image", languagebind_large("image")),)
     fusion = FusionConfig(fusion_type="sum",
@@ -75,20 +76,22 @@ def main():
             return (state, acc + m["loss"].astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, ITERS, body, (state, jnp.float32(0)))
         return acc
-    _timed("full", full, state, data, labels, missing, key)
+    if "full" in run:
+        _timed("full", full, state, data, labels, missing, key)
 
     treedef, trainable, frozen = partition_params(params, cfg)
 
-    def loss_tp(tp, data):
-        p = combine_params(treedef, tp, frozen)
+    def loss_tp(tp, fz, data):
+        # fz passed as an argument, not closed over (constants pitfall)
+        p = combine_params(treedef, tp, fz)
         return compute_loss(p, None, cfg, data, labels, missing, key)
 
     @jax.jit
-    def grads_only(tp, data):
+    def grads_only(tp, fz, data):
         def body(i, carry):
             img, acc = carry
             (l, _), g = jax.value_and_grad(loss_tp, has_aux=True)(
-                tp, dict(data, image=img))
+                tp, fz, dict(data, image=img))
             # consume one element of every grad leaf so none is dead code
             gn = sum(x.ravel()[0].astype(jnp.float32)
                      for x in jax.tree_util.tree_leaves(g))
@@ -97,38 +100,42 @@ def main():
         _, acc = jax.lax.fori_loop(0, ITERS, body,
                                    (data["image"], jnp.float32(0)))
         return acc
-    _timed("grads", grads_only, trainable, data)
+    if "grads" in run:
+        _timed("grads", grads_only, trainable, frozen, data)
 
-    enc_const = params["encoder"]
-
-    def loss_fusion(fp, data):
-        p = {"encoder": enc_const, "fusion": fp}
+    def loss_fusion(fp, enc, data):
+        # enc passed as an argument: closing over it would embed the tower
+        # as program constants (the docs/PERF.md measurement pitfall)
+        p = {"encoder": enc, "fusion": fp}
         return compute_loss(p, None, cfg, data, labels, missing, key)
 
     @jax.jit
-    def fusion_only(fp, data):
+    def fusion_only(fp, enc, data):
         def body(i, carry):
             img, acc = carry
             (l, _), g = jax.value_and_grad(loss_fusion, has_aux=True)(
-                fp, dict(data, image=img))
+                fp, enc, dict(data, image=img))
             img = img + (l * 0).astype(img.dtype)
             return (img, acc + l.astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, ITERS, body,
                                    (data["image"], jnp.float32(0)))
         return acc
-    _timed("fusion", fusion_only, params["fusion"], data)
+    if "fusion" in run:
+        _timed("fusion", fusion_only, params["fusion"], params["encoder"],
+               data)
 
     @jax.jit
-    def fwd_only(tp, data):
+    def fwd_only(tp, fz, data):
         def body(i, carry):
             img, acc = carry
-            l, _ = loss_tp(tp, dict(data, image=img))
+            l, _ = loss_tp(tp, fz, dict(data, image=img))
             img = img + (l * 0).astype(img.dtype)
             return (img, acc + l.astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, ITERS, body,
                                    (data["image"], jnp.float32(0)))
         return acc
-    _timed("fwd", fwd_only, trainable, data)
+    if "fwd" in run:
+        _timed("fwd", fwd_only, trainable, frozen, data)
 
 
 if __name__ == "__main__":
