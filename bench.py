@@ -26,6 +26,7 @@ Workloads (LanguageBind-Large scale, bf16, random modality-dropout codes):
 - train: same model, Adam, LoRA-frozen base, save_attn_mlp remat, batch 64
 - eval3: video (8-frame + temporal attn) + audio (112x1036 mel) +
   language towers + sum fusion, batch 16
+- train3: the eval3 model's train step (Adam, LoRA-frozen bases), batch 8
 """
 from __future__ import annotations
 
@@ -38,6 +39,7 @@ import numpy as np
 A100_EVAL_IMAGE_TEXT = 712.0
 A100_TRAIN_IMAGE_TEXT = 237.0
 A100_EVAL_THREE_TOWER = 58.9
+A100_TRAIN_THREE_TOWER = 19.6
 
 
 def _text_ids(rng, B):
@@ -143,6 +145,54 @@ def bench_train(jnp, jax, iters=10, B=64):
     return B * iters / dt
 
 
+def bench_train3(jnp, jax, iters=5, B=8):
+    """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
+    training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
+    save_attn_mlp is the measured-best config on one 16 GB chip: at B=16
+    the policy's saved fc1 pre-activations (24*(8B)*257*4096*2B for the
+    video tower) exceed HBM and full remat measures slower (18.9 vs 19.3
+    samples/s; docs/PERF.md)."""
+    from missm_tpu.core.config import languagebind_large
+    from missm_tpu.models.finetune import ModelConfig, init_model_params
+    from missm_tpu.models.fusion import FusionConfig
+    from missm_tpu.train.step import init_train_state, make_train_step
+
+    towers = (("video", languagebind_large("video")),
+              ("audio", languagebind_large("audio")))
+    fusion = FusionConfig(fusion_type="sum",
+                          modality_types=("language", "video", "audio"),
+                          output_dims=10, feature_dims=768, fusion_dim=256)
+    cfg = ModelConfig(towers=towers, fusion=fusion,
+                      compute_dtype="bfloat16", remat="save_attn_mlp")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+
+    rng = np.random.default_rng(0)
+    data = {
+        "language": jnp.asarray(_text_ids(rng, B)),
+        "video": jnp.asarray(rng.standard_normal((B, 3, 8, 224, 224)),
+                             dtype=jnp.float32),
+        "audio": jnp.asarray(rng.standard_normal((B, 3, 112, 1036)),
+                             dtype=jnp.float32),
+    }
+    labels = jnp.asarray(rng.integers(0, 10, B), jnp.int32)
+    missing = jnp.asarray(rng.choice([0, 1, 2, 3], B), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def loop(state, data, labels, missing, key):
+        def body(i, carry):
+            state, acc = carry
+            state, m = step(state, data, labels, missing, 1e-4, key)
+            return (state, acc + m["loss"].astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+        return acc
+
+    dt = _time_loop(loop, state, data, labels, missing, key)
+    return B * iters / dt
+
+
 def bench_eval3(jnp, jax, iters=10, B=16):
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.train.step import make_eval_step
@@ -205,6 +255,8 @@ def main():
     print(f"train: {tr:.2f}", file=sys.stderr, flush=True)
     e3 = _retry(lambda: bench_eval3(jnp, jax), "eval3") / n
     print(f"eval3: {e3:.2f}", file=sys.stderr, flush=True)
+    t3 = _retry(lambda: bench_train3(jnp, jax), "train3") / n
+    print(f"train3: {t3:.2f}", file=sys.stderr, flush=True)
 
     print(json.dumps({
         "metric": "eval_samples_per_sec_per_chip",
@@ -218,6 +270,9 @@ def main():
             {"metric": "eval3_video_audio_language_samples_per_sec_per_chip",
              "value": round(e3, 2), "unit": "samples/s/chip",
              "vs_baseline": round(e3 / A100_EVAL_THREE_TOWER, 3)},
+            {"metric": "train3_video_audio_language_samples_per_sec_per_chip",
+             "value": round(t3, 2), "unit": "samples/s/chip",
+             "vs_baseline": round(t3 / A100_TRAIN_THREE_TOWER, 3)},
         ],
     }))
 
