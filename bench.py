@@ -106,7 +106,7 @@ def bench_eval(jnp, jax, iters=20, B=64):
     return B * iters / dt
 
 
-def bench_train(jnp, jax, iters=10, B=64):
+def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
@@ -117,7 +117,7 @@ def bench_train(jnp, jax, iters=10, B=64):
                           modality_types=("language", "image"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
     cfg = ModelConfig(towers=towers, fusion=fusion,
-                      compute_dtype="bfloat16", remat="save_attn_mlp")
+                      compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     state, tx = init_train_state(params, cfg)
     step = make_train_step(cfg, tx)

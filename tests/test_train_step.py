@@ -132,6 +132,38 @@ def test_frozen_base_lora_trains():
                               np.asarray(after["fusion"]["proj"]["image"]["w"]))
 
 
+def test_partition_combine_roundtrip():
+    """partition_params/combine_params invariants: combine(partition(p))
+    reproduces p leaf-for-leaf, and the label alignment (zip of two
+    tree_flatten orders) puts exactly the non-LoRA vision-block leaves on
+    the frozen side."""
+    from missm_tpu.train.step import combine_params
+    from missm_tpu.train.step import partition_params as split_trainable
+
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    treedef, trainable, frozen = split_trainable(params, cfg)
+    # exact partition: each slot filled on exactly one side
+    assert all((t is None) != (f is None)
+               for t, f in zip(trainable, frozen))
+    merged = combine_params(treedef, trainable, frozen)
+    orig = jax.tree_util.tree_leaves_with_path(params)
+    back = jax.tree_util.tree_leaves_with_path(merged)
+    assert [p for p, _ in orig] == [p for p, _ in back]
+    for (path, a), (_, b) in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(path))
+    # frozen side == vision-block base leaves, trainable side == the rest
+    flat_paths = [p for p, _ in orig]
+    for path, t in zip(flat_paths, trainable):
+        keys = [getattr(k, "key", None) for k in path]
+        # only the LoRA-wrapped VISION encoder blocks freeze; text-tower
+        # blocks, embeddings, LNs outside blocks, and fusion all train
+        in_vision_blocks = "vision" in keys and "blocks" in keys
+        is_lora = keys[-1] in ("lora_a", "lora_b")
+        expect_frozen = in_vision_blocks and not is_lora
+        assert (t is None) == expect_frozen, (keys, t is None)
+
+
 def test_mtd_teacher_ema_moves_fusion_only():
     cfg = tiny_model_cfg("MTD_stu")
     params = init_model_params(jax.random.PRNGKey(0), cfg)
