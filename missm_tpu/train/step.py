@@ -37,7 +37,7 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def partition_params(params, cfg: ModelConfig):
+def partition_trainable(params, cfg: ModelConfig):
     """Split `params` into (treedef, trainable, frozen) where trainable /
     frozen are flat leaf lists with `None` in the other side's slots (each a
     valid pytree). The train step differentiates ONLY the trainable list:
@@ -77,7 +77,7 @@ def make_optimizer(params, cfg: ModelConfig, *, b1=0.9, b2=0.999, eps=1e-8,
 def init_train_state(params, cfg: ModelConfig, *, weight_decay: float = 0.0,
                      teacher_fusion=None) -> tuple[TrainState, Any]:
     tx = make_optimizer(params, cfg, weight_decay=weight_decay)
-    _, trainable, _ = partition_params(params, cfg)
+    _, trainable, _ = partition_trainable(params, cfg)
     state = TrainState(params=params, opt_state=tx.init(trainable),
                        teacher_fusion=teacher_fusion,
                        step=jnp.zeros((), jnp.int32))
@@ -122,7 +122,7 @@ def make_train_step(cfg: ModelConfig, tx):
     ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
 
     def step_fn(state: TrainState, data, labels, missing_index, lr, rng):
-        treedef, trainable, frozen = partition_params(state.params, cfg)
+        treedef, trainable, frozen = partition_trainable(state.params, cfg)
 
         def loss_fn(trainable):
             params = combine_params(treedef, trainable, frozen)

@@ -19,7 +19,7 @@ FROZEN = "frozen"
 
 def param_labels(params, cfg: ModelConfig):
     """A pytree of {'train','frozen'} labels matching `params` structure,
-    consumed by `train.step.partition_params` (frozen leaves are excluded
+    consumed by `train.step.partition_trainable` (frozen leaves are excluded
     from differentiation and from the optimizer entirely)."""
 
     def label_tree(tree, label):

@@ -25,7 +25,7 @@ from missm_tpu.core.config import languagebind_large
 from missm_tpu.models.finetune import ModelConfig, init_model_params
 from missm_tpu.models.fusion import FusionConfig
 from missm_tpu.train.step import (compute_loss, init_train_state,
-                                  make_train_step, partition_params,
+                                  make_train_step, partition_trainable,
                                   combine_params)
 
 ITERS = 10
@@ -79,7 +79,7 @@ def main():
     if "full" in run:
         _timed("full", full, state, data, labels, missing, key)
 
-    treedef, trainable, frozen = partition_params(params, cfg)
+    treedef, trainable, frozen = partition_trainable(params, cfg)
 
     def loss_tp(tp, fz, data):
         # fz passed as an argument, not closed over (constants pitfall)

@@ -133,12 +133,12 @@ def test_frozen_base_lora_trains():
 
 
 def test_partition_combine_roundtrip():
-    """partition_params/combine_params invariants: combine(partition(p))
+    """partition_trainable/combine_params invariants: combine(partition(p))
     reproduces p leaf-for-leaf, and the label alignment (zip of two
     tree_flatten orders) puts exactly the non-LoRA vision-block leaves on
     the frozen side."""
     from missm_tpu.train.step import combine_params
-    from missm_tpu.train.step import partition_params as split_trainable
+    from missm_tpu.train.step import partition_trainable as split_trainable
 
     cfg = tiny_model_cfg("sum")
     params = init_model_params(jax.random.PRNGKey(0), cfg)
