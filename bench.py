@@ -17,9 +17,10 @@ a host loop; scripts/temporal_pieces_probe.py history in docs/PERF.md).
 Host-loop chaining therefore under-reports chip throughput by ~25 ms per
 step; the in-jit loop measures the pure device rate, which is what a
 production (local-host) deployment gets. Iterations stay honest inside
-the loop: each step consumes a data tensor chained to the previous
-step's loss and a rotating dropout mask, so XLA cannot elide or batch
-the steps.
+the loop: eval steps consume a data tensor chained to the previous
+step's loss plus a rotating missing mask, and train steps carry the
+optimizer state forward with a per-iteration fold_in PRNG key, so XLA
+cannot elide or batch the steps.
 
 Workloads (LanguageBind-Large scale, bf16, random modality-dropout codes):
 - eval:  ViT-L/14 image tower + CLIP text tower + sum fusion, batch 64
@@ -136,7 +137,8 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
     def loop(state, data, labels, missing, key):
         def body(i, carry):
             state, acc = carry
-            state, m = step(state, data, labels, missing, 1e-4, key)
+            state, m = step(state, data, labels, missing, 1e-4,
+                            jax.random.fold_in(key, i))
             return (state, acc + m["loss"].astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
         return acc
@@ -184,7 +186,8 @@ def bench_train3(jnp, jax, iters=5, B=8):
     def loop(state, data, labels, missing, key):
         def body(i, carry):
             state, acc = carry
-            state, m = step(state, data, labels, missing, 1e-4, key)
+            state, m = step(state, data, labels, missing, 1e-4,
+                            jax.random.fold_in(key, i))
             return (state, acc + m["loss"].astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
         return acc

@@ -111,7 +111,9 @@ def make_tokenizer(args):
     context = any_tower.text.max_position_embeddings
     text_vocab = any_tower.text.vocab_size
     tok = load_tokenizer(args.vocab_file, args.merges_file,
-                         context_length=context)
+                         context_length=context,
+                         allow_hash_fallback=getattr(args, "hash_tokenizer",
+                                                     False))
     from ..data.tokenizer import HashTokenizer
     if isinstance(tok, HashTokenizer):
         tok.vocab_size = text_vocab

@@ -8,7 +8,8 @@ reference behavior:
                      only mode)
   --model_scale      'large' (LanguageBind ViT-L) | 'tiny' (tests/smoke)
   --init             'checkpoint' | 'random' (no-network smoke runs)
-  --vocab_file/--merges_file   CLIP BPE files (else hash tokenizer)
+  --vocab_file/--merges_file   CLIP BPE files
+  --hash_tokenizer             explicit opt-in to the hash stand-in tokenizer
   --reference_randomness       keep the reference's eval-time random flip /
                                audio-chunk draws instead of deterministic eval
   --remat            rematerialize tower blocks (memory for FLOPs)
@@ -49,6 +50,11 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint_dir", type=str, default="./cache_dir")
     p.add_argument("--vocab_file", type=str, default=None)
     p.add_argument("--merges_file", type=str, default=None)
+    p.add_argument("--hash_tokenizer", action="store_true",
+                   help="explicitly opt into the deterministic CRC32 hash "
+                        "tokenizer (NOT CLIP-compatible; tests/smoke only). "
+                        "Without this flag a missing vocab/merges path is a "
+                        "hard error")
     p.add_argument("--reference_randomness", type=_bool, default=False)
     p.add_argument("--video_decode_backend", type=str, default="decord",
                    choices=["decord", "opencv", "pytorchvideo"],

@@ -184,10 +184,28 @@ class HashTokenizer:
 
 def load_tokenizer(vocab_file: Optional[str] = None,
                    merges_file: Optional[str] = None,
-                   context_length: int = 77):
-    """ClipBpeTokenizer when vocab files exist, HashTokenizer otherwise."""
+                   context_length: int = 77,
+                   allow_hash_fallback: bool = False):
+    """ClipBpeTokenizer from vocab/merges files; the HashTokenizer stand-in
+    only by explicit opt-in.
+
+    A configured-but-missing vocab path is a hard error: silently swapping
+    in the CRC32 hash tokenizer keeps the model running while producing
+    garbage text embeddings (real-checkpoint eval would quietly
+    underperform). `allow_hash_fallback=True` (the CLI's --hash_tokenizer)
+    is the only way to run without CLIP vocab files."""
     import os
-    if vocab_file and merges_file and os.path.exists(vocab_file) \
-            and os.path.exists(merges_file):
+    if vocab_file or merges_file:
+        missing = [p for p in (vocab_file, merges_file)
+                   if not (p and os.path.exists(p))]
+        if missing:
+            raise FileNotFoundError(
+                "tokenizer vocab/merges configured but not found: "
+                f"{missing} — fix the paths or pass --hash_tokenizer to "
+                "opt into the non-CLIP hash tokenizer")
         return ClipBpeTokenizer(vocab_file, merges_file, context_length)
+    if not allow_hash_fallback:
+        raise ValueError(
+            "no tokenizer vocab configured: pass --vocab_file/--merges_file "
+            "(CLIP BPE) or explicitly opt into --hash_tokenizer")
     return HashTokenizer(context_length=context_length)

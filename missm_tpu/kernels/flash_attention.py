@@ -560,8 +560,14 @@ def _fca_bwd(num_heads, res, g):
     q, k, v, kbias = res
     N = q.shape[1]
     bias = _causal_dense_bias(N) + kbias[:, :, None, :].astype(jnp.float32)
-    dq, dk, dv = _einsum_bwd_bias(num_heads, bias, (q, k, v), g)
-    return dq, dk, dv, jnp.zeros_like(kbias)
+    dq, dk, dv, ds = _einsum_bwd_bias(num_heads, bias, (q, k, v), g,
+                                      want_ds=True)
+    # d(additive key bias) = sum of the score cotangent over heads and
+    # queries (the bias broadcasts over both). Callers that pass a pure
+    # -inf/0 padding mask get a finite but unused gradient; callers that
+    # learn a bias get the true one.
+    dkbias = jnp.sum(ds, axis=(1, 2))[:, None, :].astype(kbias.dtype)
+    return dq, dk, dv, dkbias
 
 
 fused_attention_causal_ad.defvjp(_fca_fwd, _fca_bwd)
@@ -784,7 +790,7 @@ def _einsum_bwd(num_heads, block_diag, res, g):
     return _einsum_bwd_bias(num_heads, bias, res, g)
 
 
-def _einsum_bwd_bias(num_heads, bias, res, g):
+def _einsum_bwd_bias(num_heads, bias, res, g, want_ds: bool = False):
     q, k, v = res
     B, N, D = q.shape
     hd = D // num_heads
@@ -803,9 +809,10 @@ def _einsum_bwd_bias(num_heads, bias, res, g):
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kh) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qh) * scale
-    return (dq.reshape(B, N, D).astype(q.dtype),
-            dk.reshape(B, N, D).astype(k.dtype),
-            dv.reshape(B, N, D).astype(v.dtype))
+    out = (dq.reshape(B, N, D).astype(q.dtype),
+           dk.reshape(B, N, D).astype(k.dtype),
+           dv.reshape(B, N, D).astype(v.dtype))
+    return out + (ds,) if want_ds else out
 
 
 fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)

@@ -398,13 +398,19 @@ def _patchify3d(frames, patch: int, tube: int):
     return x.reshape(B, T // tube, gh * gw, C * tube * patch * patch)
 
 
-def _patch_dropout(key, x, B, T, prob: float):
+def _patch_dropout(key, x, B, T, prob: float, row_offset: int = 0):
     """Training-time random patch-token dropout, CLS kept; one mask per video
-    shared across its T frames (reference image/modeling_image.py:19-63)."""
+    shared across its T frames (reference image/modeling_image.py:19-63).
+
+    Each video's randomness derives from fold_in(key, global video index),
+    so the dropout stream is invariant to how vision_features chunks the
+    batch (chunk_instances / device_count do not change results)."""
     cls_tok, toks = x[:, :1], x[:, 1:]
     n = toks.shape[1]
     keep = max(1, int(n * (1.0 - prob)))
-    rand = jax.random.normal(key, (B, n))
+    vid_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(B) + row_offset)
+    rand = jax.vmap(lambda k: jax.random.normal(k, (n,)))(vid_keys)
     _, keep_idx = jax.lax.top_k(rand, keep)  # [B, keep]
     if T != 1:
         keep_idx = jnp.repeat(keep_idx, T, axis=0)  # [(B*T), keep]
@@ -424,11 +430,13 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
     instance at 128 instances than at 64 on v5e (XLA schedules the b64
     shapes better — scripts/video_pieces_probe.py), so a 16-video 8-frame
     batch runs as two sequential 64-instance programs inside the same jit.
-    A single chunk passes through unchanged (identical rng/dropout stream).
+    Patch-dropout randomness is per-video (fold_in of the global video
+    index), so chunking does not change the dropout stream.
     """
     if pixel_values.ndim == 7:
-        inst_per = pixel_values.shape[1] * pixel_values.shape[2] * \
-            pixel_values.shape[3]
+        t_raw = pixel_values.shape[2]
+        t_eff = (t_raw // cfg.tube_size) if cfg.use_tube3d else t_raw
+        inst_per = pixel_values.shape[1] * t_eff * pixel_values.shape[3]
     elif pixel_values.ndim == 5:
         t_raw = pixel_values.shape[2]
         inst_per = (t_raw // cfg.tube_size) if cfg.use_tube3d else t_raw
@@ -439,14 +447,13 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
     per_chunk = max(1, chunk_inst // max(inst_per, 1))
     if bv > per_chunk:
         n_chunks = -(-bv // per_chunk)
-        keys = (jax.random.split(rng, n_chunks) if rng is not None
-                else [None] * n_chunks)
         pooled = jnp.concatenate([
             _vision_features_chunk(params, cfg,
                                    pixel_values[i * per_chunk:
                                                 (i + 1) * per_chunk],
-                                   train=train, rng=keys[i], remat=remat,
-                                   projection=projection)
+                                   train=train, rng=rng, remat=remat,
+                                   projection=projection,
+                                   row_offset=i * per_chunk)
             for i in range(n_chunks)], axis=0)
         return pooled
     return _vision_features_chunk(params, cfg, pixel_values, train=train,
@@ -455,7 +462,7 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
 
 def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
                            train=False, rng=None, remat=False,
-                           projection=None):
+                           projection=None, row_offset: int = 0):
     if pixel_values.ndim == 7:
         # (b, pair, T, bs, c, h, w) — the reference's 7-D retrieval-pair
         # layout (image/modeling_image.py:630-634): flatten to (B, T, C, H, W)
@@ -514,7 +521,8 @@ def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
     if train and cfg.force_patch_dropout > 0.0:
         if rng is None:
             raise ValueError("patch dropout needs an rng key in training mode")
-        x = _patch_dropout(rng, x, B, T, cfg.force_patch_dropout)
+        x = _patch_dropout(rng, x, B, T, cfg.force_patch_dropout,
+                           row_offset=row_offset)
 
     x = layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
 

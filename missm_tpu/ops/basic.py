@@ -6,6 +6,8 @@ accumulate at full precision on the MXU.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -36,6 +38,70 @@ def layer_norm(params, x, eps: float = 1e-5):
     return y.astype(x.dtype)
 
 
+def _fold_lora(w, a, b, scaling, out_dtype):
+    """peft merge_and_unload math: w + a @ b * scaling, folded in f32.
+
+    In bf16 compute mode the cast of the merged weight rounds per-element
+    deltas below ~2^-8 of |w| away in the forward (unlike an unfused f32
+    `x @ a @ b` delta). Accepted: the reference trains the adapter in the
+    checkpoint dtype too, and the exact-rank gradients below do not pass
+    through this rounding.
+    """
+    delta = jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return (w.astype(jnp.float32) + delta * scaling).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lora_matmul(scaling, x, w, a, b):
+    """x @ (w + a @ b * scaling) with exact-rank LoRA gradients.
+
+    Forward uses the folded weight (one [in, r] x [r, out] dot per call —
+    rank-r per-token matmuls pad their r=2 axis to full MXU tiles, measured
+    ~11 ms of the ViT-L b64 eval step). Plain autodiff of the fold, though,
+    routes da/db through dW_eff = x^T @ dy — a full [in, out] matmul per
+    projection per step (~17 ms of the b64 train step) that exists ONLY to
+    be immediately collapsed to rank r. This VJP computes the
+    mathematically identical gradients at rank r directly:
+        da = x^T @ (dy @ b^T) * scaling      (two [*, r] dots)
+        db = (x @ a)^T @ dy * scaling
+        dw = x^T @ dy  (the true base-weight cotangent — emitted so full
+             fine-tuning stays correct, dead-code-eliminated by XLA when
+             the base is frozen out of the differentiated partition)
+        dx = dy @ w_eff^T  (fold recomputed, rank-r cost)
+    """
+    return jnp.dot(x, _fold_lora(w, a, b, scaling, x.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _lora_matmul_fwd(scaling, x, w, a, b):
+    return _lora_matmul(scaling, x, w, a, b), (x, w, a, b)
+
+
+def _lora_matmul_bwd(scaling, res, g):
+    x, w, a, b = res
+    gc = g.astype(x.dtype)
+    w_eff = _fold_lora(w, a, b, scaling, x.dtype)
+    dx = jnp.dot(gc, w_eff.T,
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+    x2 = x.reshape(-1, x.shape[-1])
+    g2 = gc.reshape(-1, gc.shape[-1])
+    dw = jnp.dot(x2.T, g2,
+                 preferred_element_type=jnp.float32).astype(w.dtype)
+    gb = jnp.dot(g2, b.T.astype(g2.dtype),
+                 preferred_element_type=jnp.float32)        # [N, r]
+    da = (jnp.dot(x2.T, gb.astype(x2.dtype),
+                  preferred_element_type=jnp.float32)
+          * scaling).astype(a.dtype)
+    xa = jnp.dot(x2, a, preferred_element_type=jnp.float32)  # [N, r]
+    db = (jnp.dot(xa.astype(g2.dtype).T, g2,
+                  preferred_element_type=jnp.float32)
+          * scaling).astype(b.dtype)
+    return dx, dw, da, db
+
+
+_lora_matmul.defvjp(_lora_matmul_fwd, _lora_matmul_bwd)
+
+
 def linear(params, x, *, lora_scaling: float | None = None):
     """y = x @ w (+ b) with optional merged-at-apply-time LoRA delta.
 
@@ -43,22 +109,18 @@ def linear(params, x, *, lora_scaling: float | None = None):
     Optional `params['lora_a']`: (in, r), `params['lora_b']`: (r, out) —
     mirrors peft's LoRA on the reference's vision attention (reference
     image/modeling_image.py:775-793; lora_dropout defaults to 0, so the
-    adapter is the pure linear delta `x @ a @ b * scaling`).
+    adapter is the pure linear delta `x @ a @ b * scaling`). At init
+    (b == 0) the folded weight equals the base weight bit-for-bit.
 
-    The delta is FOLDED into the weight (w + a @ b * scaling) rather than
-    applied as `(x @ a) @ b`: rank-r (r=2) per-token matmuls pad their
-    2-wide axis to full MXU tiles — measured ~9 ms of the ViT-L b64 step —
-    while the fold is one [in, r] x [r, out] dot per layer per step (peft's
-    own merge_and_unload math). Gradients are unchanged in structure:
-    da = dw_eff @ b^T, db = a^T @ dw_eff, and at init (b == 0) the folded
-    weight equals the base weight bit-for-bit.
+    LoRA'd projections route through `_lora_matmul`, whose custom VJP
+    keeps the folded-weight forward while producing the adapter gradients
+    at rank r instead of through a full [in, out] dW_eff matmul.
     """
-    w = params["w"]
     if lora_scaling is not None and "lora_a" in params:
-        delta = jnp.dot(params["lora_a"], params["lora_b"],
-                        preferred_element_type=jnp.float32)
-        w = (w.astype(jnp.float32) + delta * lora_scaling).astype(x.dtype)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = _lora_matmul(lora_scaling, x, params["w"], params["lora_a"],
+                         params["lora_b"])
+    else:
+        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y.astype(x.dtype)

@@ -97,7 +97,7 @@ def test_cli_train_from_converted_checkpoint(tmp_path, monkeypatch):
     best, hist = train_main([
         "--datasetName", "mvsa", "--csv_path", csv,
         "--modality_types", "language", "image",
-        "--fusion_type", "sum", "--model_scale", "tiny",
+        "--fusion_type", "sum", "--model_scale", "tiny", "--hash_tokenizer",
         "--init", "checkpoint", "--checkpoint_dir", FIX,
         "--batch_size", "4", "--num_epochs", "1", "--num_workers", "0"])
     assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])

@@ -22,7 +22,7 @@ def workspace(tmp_path, monkeypatch):
 def _argv(csv, fusion, extra=()):
     return ["--datasetName", "mvsa", "--csv_path", csv,
             "--modality_types", "language", "image",
-            "--fusion_type", fusion, "--model_scale", "tiny",
+            "--fusion_type", fusion, "--model_scale", "tiny", "--hash_tokenizer",
             "--init", "random", "--batch_size", "4",
             "--num_epochs", "1", *extra]
 

@@ -22,13 +22,13 @@ def test_predict_cli(workspace):
 
     train_main(["--datasetName", "mvsa", "--csv_path", workspace,
                 "--modality_types", "language", "image",
-                "--fusion_type", "sum", "--model_scale", "tiny",
+                "--fusion_type", "sum", "--model_scale", "tiny", "--hash_tokenizer",
                 "--init", "random", "--batch_size", "4",
                 "--num_epochs", "1"])
 
     out = predict_main(["--datasetName", "mvsa", "--csv_path", workspace,
                         "--modality_types", "language", "image",
-                        "--fusion_type", "sum", "--model_scale", "tiny",
+                        "--fusion_type", "sum", "--model_scale", "tiny", "--hash_tokenizer",
                         "--batch_size", "8",
                         "--split", "test", "--output", "preds.csv"])
     assert os.path.exists("preds.csv")

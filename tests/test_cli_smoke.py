@@ -24,7 +24,7 @@ def test_train_then_test_cli(workspace):
 
     argv = ["--datasetName", "mvsa", "--csv_path", workspace,
             "--modality_types", "language", "image",
-            "--fusion_type", "sum", "--model_scale", "tiny",
+            "--fusion_type", "sum", "--model_scale", "tiny", "--hash_tokenizer",
             "--init", "random", "--batch_size", "4",
             "--num_epochs", "1", "--num_workers", "0"]
     best, hist = train_main(argv)
@@ -35,7 +35,7 @@ def test_train_then_test_cli(workspace):
               "--modality_types", "language", "image",
               "--fusion_type", "sum", "--test_types", "sum",
               "--test_missing_type", "language", "image", "mixed",
-              "--model_scale", "tiny", "--batch_size", "8"]
+              "--model_scale", "tiny", "--hash_tokenizer", "--batch_size", "8"]
     results = test_main(argv_t)
     assert set(results["sum"]) == {"language", "image", "mixed"}
     assert os.path.exists("./new_txt_experiment/mvsa_sum_language.txt")

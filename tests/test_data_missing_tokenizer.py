@@ -102,3 +102,21 @@ def test_hash_tokenizer_contract():
     assert out["input_ids"].shape == (2, 12)
     np.testing.assert_array_equal(out["input_ids"][0], out["input_ids"][1])
     assert out["attention_mask"][0].sum() == 4  # bos + 2 words + eos
+
+
+def test_load_tokenizer_fails_loudly():
+    """A configured-but-missing vocab path or an unconfigured tokenizer
+    without --hash_tokenizer must raise, never silently fall back
+    (VERDICT r2 weak #5)."""
+    import pytest
+    from missm_tpu.data.tokenizer import (HashTokenizer, load_tokenizer)
+    with pytest.raises(FileNotFoundError):
+        load_tokenizer("/no/such/vocab.json", "/no/such/merges.txt")
+    with pytest.raises(ValueError):
+        load_tokenizer(None, None)
+    with pytest.raises(FileNotFoundError):
+        # one path set, the other missing: still loud
+        load_tokenizer("/no/such/vocab.json", None,
+                       allow_hash_fallback=True)
+    tok = load_tokenizer(None, None, allow_hash_fallback=True)
+    assert isinstance(tok, HashTokenizer)
