@@ -147,7 +147,7 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
     return B * iters / dt
 
 
-def bench_train3(jnp, jax, iters=5, B=8):
+def bench_train3(jnp, jax, iters=5, B=8, remat="save_attn_mlp"):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
     save_attn_mlp is the measured-best config on one 16 GB chip: at B=16
@@ -165,7 +165,7 @@ def bench_train3(jnp, jax, iters=5, B=8):
                           modality_types=("language", "video", "audio"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
     cfg = ModelConfig(towers=towers, fusion=fusion,
-                      compute_dtype="bfloat16", remat="save_attn_mlp")
+                      compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     state, tx = init_train_state(params, cfg)
     step = make_train_step(cfg, tx)

@@ -27,7 +27,8 @@ def _bool(v):
 
 
 def _remat(v):
-    if str(v) in ("save_attn", "save_attn_mlp", "save_most"):
+    if str(v) in ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
+                  "save_most"):
         return str(v)
     return _bool(v)
 

@@ -321,6 +321,13 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
         elif remat == "save_attn_mlp":
             policy = checkpoint_policies.save_only_these_names(
                 "attn_out", "mlp_wide")
+        elif remat == "save_attn_mlp_kern":
+            # additionally keep the pre-out-projection attention kernel
+            # output: with LoRA on the out projection its da/db consume
+            # that value, which otherwise forces the backward to replay
+            # the forward attention kernel (spatial AND packed temporal).
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "attn_kernel_out")
         elif remat == "save_most":
             policy = checkpoint_policies.save_anything_except_these_names(
                 "mlp_wide", "mlp_wide_act")

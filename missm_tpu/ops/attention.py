@@ -89,6 +89,12 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B, N, D)
+    # Named so the `save_attn_mlp_kern` remat policy can keep it: when the
+    # out projection carries LoRA, its da/db need this value as input — the
+    # only backward consumer that otherwise forces a replay of the forward
+    # attention kernel during rematerialized backprop.
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "attn_kernel_out")
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 
@@ -129,6 +135,8 @@ def short_attention(params, x, *, num_heads: int,
         # tiny T-token instances.
         tail = _einsum_reference(q[full:], k[full:], v[full:], num_heads)
         out = jnp.concatenate([out, tail], axis=0)
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "attn_kernel_out")
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 

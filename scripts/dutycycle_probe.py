@@ -67,6 +67,7 @@ def main():
         "--datasetName", "mvsa", "--csv_path", os.path.join(ROOT, "label.csv"),
         "--modality_types", "language", "image",
         "--fusion_type", "sum", "--model_scale", "large", "--init", "random",
+        "--hash_tokenizer",
         "--batch_size", str(batch), "--num_epochs", "3",
         "--remat", "save_attn_mlp",
         "--learning_rate", "1e-4", "--patience", "8",

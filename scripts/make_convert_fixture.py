@@ -7,12 +7,15 @@ full multi-tower checkpoint through the production load path
 (cli.common.init_params -> compat.convert) and matches the activations
 end-to-end.
 
-Towers exercised: image (plain), video (temporal attention), audio
-(rectangular mel grid -> resize_pos at conversion). Real LanguageBind
-weights are not downloadable in this environment; the fixture towers are
-the reference's OWN modules at a small config with fixed seeds — the same
-code path that loads the published checkpoints
-(/root/reference/languagebind/__init__.py:62-68).
+Towers exercised: ALL FIVE the reference loads
+(/root/reference/languagebind/__init__.py:62-68) — image (plain), video
+(temporal attention), audio (rectangular mel grid -> resize_pos at
+conversion), depth (carries the max_depth=10 config extra,
+configuration_depth.py:205), thermal. Real LanguageBind weights are not
+downloadable in this environment; the fixture towers are the reference's
+OWN modules at a small config with fixed seeds — the same code path that
+loads the published checkpoints. The five-tower set also pins the
+last-loaded-language aliasing (:69-70) across the full ordering.
 
 Rerun: python scripts/make_convert_fixture.py  (writes tests/fixtures/lb_ckpt)
 """
@@ -70,8 +73,11 @@ def main():
     image = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
     video = rng.standard_normal((2, 3, 4, 32, 32)).astype(np.float32)
     audio = rng.standard_normal((2, 3, 32, 48)).astype(np.float32)
+    depth = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    thermal = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
 
-    expected = {"ids": ids, "image": image, "video": video, "audio": audio}
+    expected = {"ids": ids, "image": image, "video": video, "audio": audio,
+                "depth": depth, "thermal": thermal}
 
     specs = {
         "image": ("LanguageBind_Image", 10, {}, image),
@@ -80,6 +86,8 @@ def main():
         "audio": ("LanguageBind_Audio", 12,
                   dict(add_time_attn=False, num_mel_bins=32,
                        target_length=48), audio),
+        "depth": ("LanguageBind_Depth", 13, dict(max_depth=10), depth),
+        "thermal": ("LanguageBind_Thermal", 14, {}, thermal),
     }
     for which, (dirname, seed, vkw, px) in specs.items():
         model = build(which, seed, **vkw)
