@@ -147,7 +147,7 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
     return B * iters / dt
 
 
-def bench_train3(jnp, jax, iters=5, B=8, remat="save_attn_mlp"):
+def bench_train3(jnp, jax, iters=10, B=8, remat="save_attn_mlp"):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
     save_attn_mlp is the measured-best config on one 16 GB chip: at B=16
@@ -196,7 +196,7 @@ def bench_train3(jnp, jax, iters=5, B=8, remat="save_attn_mlp"):
     return B * iters / dt
 
 
-def bench_eval3(jnp, jax, iters=10, B=16):
+def bench_eval3(jnp, jax, iters=20, B=16):
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.train.step import make_eval_step
 

@@ -591,6 +591,52 @@ int mi_resample_u8_norm(const uint8_t* img, int h, int w, int c,
   return 0;
 }
 
+// uint8-output variant (the --uint8_upload tunnel-byte saver): same banded
+// resample+crop, but the output stays [c, th, tw] uint8 (rounded, clamped —
+// bicubic can overshoot [0,255]) and normalization moves to the device,
+// fused into the tower's input cast. Quantizing AFTER the resize mirrors
+// PIL's uint8 Resize in the reference image pipeline
+// (image/processing_image.py ToTensor after Resize) and bounds the error
+// at 0.5/255 of dynamic range — below bf16 rounding of the f32 path.
+int mi_resample_u8_u8(const uint8_t* img, int h, int w, int c,
+                      const float* wh, const int* loh, int th, int tapsh,
+                      const float* ww, const int* low, int tw, int tapsw,
+                      uint8_t* out) {
+  if (!img || !wh || !ww || !out || c <= 0) return -1;
+  std::vector<float> tmp((size_t)th * w * c, 0.0f);  // [th, w, c]
+  for (int o = 0; o < th; ++o) {
+    float* dst = tmp.data() + (size_t)o * w * c;
+    for (int t = 0; t < tapsh; ++t) {
+      const float wv = wh[(size_t)o * tapsh + t];
+      if (wv == 0.0f) continue;
+      const int src = loh[o] + t;
+      if (src < 0 || src >= h) return -2;
+      const uint8_t* row = img + (size_t)src * w * c;
+      const int n = w * c;
+      for (int i = 0; i < n; ++i) dst[i] += wv * (float)row[i];
+    }
+  }
+  for (int ch = 0; ch < c; ++ch) {
+    for (int o = 0; o < th; ++o) {
+      const float* trow = tmp.data() + (size_t)o * w * c;
+      uint8_t* orow = out + ((size_t)ch * th + o) * tw;
+      for (int p = 0; p < tw; ++p) {
+        float acc = 0.0f;
+        const float* wrow = ww + (size_t)p * tapsw;
+        const int lo = low[p];
+        for (int t = 0; t < tapsw; ++t) {
+          const int src = lo + t;
+          if (src < 0 || src >= w) return -2;
+          acc += wrow[t] * trow[(size_t)src * c + ch];
+        }
+        const float r = acc + 0.5f;
+        orow[p] = (uint8_t)(r < 0.0f ? 0.0f : (r > 255.0f ? 255.0f : r));
+      }
+    }
+  }
+  return 0;
+}
+
 // f32 single-plane variant (depth path; normalize happens in Python).
 int mi_resample_f32(const float* img, int h, int w, const float* wh,
                     const int* loh, int th, int tapsh, const float* ww,

@@ -127,7 +127,8 @@ def make_loader_fns(args):
     return make_media_loaders(
         towers, reference_randomness=getattr(args, "reference_randomness",
                                              False),
-        seed=args.seed)
+        seed=args.seed,
+        quantized=getattr(args, "uint8_upload", False))
 
 
 def enable_cache():

@@ -14,6 +14,8 @@ reference behavior:
                                audio-chunk draws instead of deterministic eval
   --remat            rematerialize tower blocks (memory for FLOPs)
   --bf16             bfloat16 params/activations on the towers
+  --uint8_upload     ship resized image/video batches uint8, normalize
+                     on device (4x fewer host->device bytes than f32)
 """
 from __future__ import annotations
 
@@ -67,6 +69,13 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "+770 MB at ViT-L b64), or save_most (save all but "
                         "the 4d-wide MLP tensors; fastest if it fits)")
     p.add_argument("--bf16", type=_bool, default=True)
+    p.add_argument("--uint8_upload", type=_bool, default=False,
+                   help="ship resized image/video batches to the device as "
+                        "uint8 (1 byte/px, 4x fewer tunnel/PCIe bytes than "
+                        "f32) and normalize on device inside the jitted "
+                        "step; quantize-after-resize bounds the input delta "
+                        "at 0.5/255 (below bf16 rounding). Needs the native "
+                        "resampler (make -C cpp)")
     p.add_argument("--distributed", type=_bool, default=False,
                    help="multi-host: jax.distributed.initialize() from env "
                         "(JAX_COORDINATOR_ADDRESS etc.) before device use")

@@ -24,7 +24,8 @@ import numpy as np
 from ..core.config import TowerConfig
 from ..ops.image_transforms import (
     depth_transform, depth_transform_host, image_transform,
-    image_transform_host, video_transform, video_transform_host,
+    image_transform_host, image_transform_host_u8, video_transform,
+    video_transform_host, video_transform_host_u8,
 )
 from ..ops.melfbank import (
     FbankConfig, audio_model_input, chunk_ranges, num_frames,
@@ -44,20 +45,25 @@ def _host_transforms() -> bool:
     return native.available()
 
 
-def make_image_loader(size: int = 224) -> Callable:
+def make_image_loader(size: int = 224, quantized: bool = False) -> Callable:
+    """quantized (--uint8_upload): keep the resized/cropped frames uint8 so
+    the host->device transfer ships 1 byte/px; the jitted step dequantizes
+    (models.finetune). Requires the native resampler; falls back to the
+    normalized f32 path otherwise (the model accepts either dtype)."""
     def load(path):
         img = ingest_io.decode_image(path)           # [H, W, 3] uint8
         if _host_transforms():
-            out = image_transform_host(img, size)
+            out = (image_transform_host_u8(img, size) if quantized
+                   else image_transform_host(img, size))
             if out is not None:
                 return out
         return np.asarray(image_transform(img, size))
     return load
 
 
-def make_thermal_loader(size: int = 224) -> Callable:
+def make_thermal_loader(size: int = 224, quantized: bool = False) -> Callable:
     # thermal processing == image processing (thermal/processing_thermal.py)
-    return make_image_loader(size)
+    return make_image_loader(size, quantized=quantized)
 
 
 def make_depth_loader(size: int = 224, max_depth: float = 10.0) -> Callable:
@@ -78,7 +84,8 @@ def make_video_loader(num_frames: int = 8, size: int = 224,
                       rng: Optional[np.random.Generator] = None,
                       backend: str = "decord",
                       clip_start_sec: float = 0.0,
-                      clip_end_sec: Optional[float] = None) -> Callable:
+                      clip_end_sec: Optional[float] = None,
+                      quantized: bool = False) -> Callable:
     """Backend selects the reference's SAMPLING semantics (decode is always
     our FFmpeg ingest):
     - 'decord' / 'opencv' / 'ffmpeg': np.linspace(0, total-1, T) frame ids
@@ -110,7 +117,9 @@ def make_video_loader(num_frames: int = 8, size: int = 224,
             frames = ingest_io.decode_video(path, num_frames)  # [T,H,W,3]
         flip = bool(rng.integers(0, 2)) if reference_randomness else False
         if _host_transforms():
-            out = video_transform_host(frames, size, flip=flip)
+            out = (video_transform_host_u8(frames, size, flip=flip)
+                   if quantized
+                   else video_transform_host(frames, size, flip=flip))
             if out is not None:
                 return out
         return np.asarray(video_transform(frames, size, flip=flip))
@@ -159,22 +168,24 @@ def make_audio_loader(cfg: TowerConfig,
 
 def make_media_loaders(tower_cfgs: Dict[str, TowerConfig],
                        reference_randomness: bool = False,
-                       seed: int = 0) -> Dict[str, Callable]:
+                       seed: int = 0,
+                       quantized: bool = False) -> Dict[str, Callable]:
     rng = np.random.default_rng(seed)
     out: Dict[str, Callable] = {}
     for m, cfg in tower_cfgs.items():
         size = cfg.vision.image_size[0]  # square for all but audio
         if m == "image":
-            out[m] = make_image_loader(size)
+            out[m] = make_image_loader(size, quantized=quantized)
         elif m == "thermal":
-            out[m] = make_thermal_loader(size)
+            out[m] = make_thermal_loader(size, quantized=quantized)
         elif m == "depth":
             out[m] = make_depth_loader(size, max_depth=cfg.max_depth)
         elif m == "video":
             out[m] = make_video_loader(cfg.vision.num_frames, size,
                                        reference_randomness=
                                        reference_randomness, rng=rng,
-                                       backend=cfg.video_decode_backend)
+                                       backend=cfg.video_decode_backend,
+                                       quantized=quantized)
         elif m == "audio":
             out[m] = make_audio_loader(cfg, reference_randomness=
                                        reference_randomness, rng=rng)

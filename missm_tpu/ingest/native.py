@@ -93,6 +93,12 @@ def _load():
             f32p, i32p, ctypes.c_int, ctypes.c_int,
             f32p, i32p, ctypes.c_int, ctypes.c_int,
             f32p, f32p, f32p]
+        lib.mi_resample_u8_u8.restype = ctypes.c_int
+        lib.mi_resample_u8_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, ctypes.c_int, ctypes.c_int,
+            u8p]
         lib.mi_resample_f32.restype = ctypes.c_int
         lib.mi_resample_f32.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int,
@@ -257,6 +263,29 @@ def resample_u8_norm(img_hwc: np.ndarray, wh: np.ndarray, loh: np.ndarray,
         np.ascontiguousarray(low, np.int32), tw, ww.shape[1],
         np.ascontiguousarray(mean, np.float32),
         np.ascontiguousarray(std, np.float32), out)
+    return out if rc == 0 else None
+
+
+def resample_u8_u8(img_hwc: np.ndarray, wh: np.ndarray, loh: np.ndarray,
+                   ww: np.ndarray, low: np.ndarray) -> Optional[np.ndarray]:
+    """Banded separable resample+crop keeping uint8 output (rounded,
+    clamped): [H, W, C] uint8 -> [C, th, tw] uint8. Normalization moves to
+    the device (models.finetune dequantizes (x/255 - mean)/std in the
+    jitted step) — the --uint8_upload path, 4x fewer tunnel bytes than
+    f32 and 2x fewer than bf16."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img_hwc, np.uint8)
+    h, w, c = img.shape
+    th, tw = wh.shape[0], ww.shape[0]
+    out = np.empty((c, th, tw), np.uint8)
+    rc = lib.mi_resample_u8_u8(
+        img, h, w, c,
+        np.ascontiguousarray(wh, np.float32),
+        np.ascontiguousarray(loh, np.int32), th, wh.shape[1],
+        np.ascontiguousarray(ww, np.float32),
+        np.ascontiguousarray(low, np.int32), tw, ww.shape[1], out)
     return out if rc == 0 else None
 
 

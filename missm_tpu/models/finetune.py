@@ -44,6 +44,21 @@ def _cast_tree(tree, dtype):
         else x, tree)
 
 
+def _dequantize(x, dtype):
+    """uint8 media batch (--uint8_upload; ops.image_transforms.*_host_u8)
+    -> normalized CLIP input. Channel axis: 1 for the [B,3,H,W] /
+    [B,3,T,H,W] layouts, 4 for the 7-D retrieval-pair layout
+    (image/modeling_image.py:630-634). Normalize runs f32 then casts so
+    the only delta vs the f32 path is the post-resize rounding (max
+    0.5/255 of dynamic range — below bf16 input rounding)."""
+    from ..ops.image_transforms import OPENAI_MEAN, OPENAI_STD
+    c_axis = 4 if x.ndim == 7 else 1
+    shape = tuple(3 if i == c_axis else 1 for i in range(x.ndim))
+    mean = jnp.asarray(OPENAI_MEAN, jnp.float32).reshape(shape)
+    std = jnp.asarray(OPENAI_STD, jnp.float32).reshape(shape)
+    return ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(dtype)
+
+
 def init_model_params(key, cfg: ModelConfig):
     k1, k2 = jax.random.split(key)
     return {
@@ -60,8 +75,12 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
     if rng is not None:
         r_enc, r_fus = jax.random.split(rng)
     enc_params = params["encoder"]
+    dt = jnp.dtype(cfg.compute_dtype)
+    data = {k: (_dequantize(v, dt)
+                if k != "language" and getattr(v, "dtype", None) == jnp.uint8
+                else v)
+            for k, v in data.items()}
     if cfg.compute_dtype != "float32":
-        dt = jnp.dtype(cfg.compute_dtype)
         enc_params = _cast_tree(enc_params, dt)
         data = {k: (_cast_tree(v, dt) if k != "language" else v)
                 for k, v in data.items()}
@@ -76,5 +95,9 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
 
 def embed_only(params, cfg: ModelConfig, data: Mapping):
     """Encoder-only pass (the statistics pass of test.py:98-115)."""
+    data = {k: (_dequantize(v, jnp.float32)
+                if k != "language" and getattr(v, "dtype", None) == jnp.uint8
+                else v)
+            for k, v in data.items()}
     return encode(params["encoder"], cfg.tower_dict, data,
                   use_temp=cfg.use_temp)

@@ -230,6 +230,40 @@ def video_transform_host(frames_thwc_uint8, size: int = 224,
     return out
 
 
+def image_transform_host_u8(img_hwc_uint8, size: int = 224):
+    """--uint8_upload variant of `image_transform_host`: resize+crop in f32,
+    round back to [3, size, size] uint8; (x/255 - mean)/std moves to the
+    device (models.finetune._dequantize, fused into the tower input cast).
+    Quantize-after-resize mirrors PIL's uint8 Resize in the reference
+    pipeline (image/processing_image.py: Resize on PIL precedes ToTensor);
+    max error 0.5/255 of dynamic range. Returns None without the native
+    library."""
+    from ..ingest import native
+    img = np.asarray(img_hwc_uint8)
+    bh, loh, bw, low = crop_resize_bands(img.shape[0], img.shape[1], size,
+                                         "bicubic", True)
+    return native.resample_u8_u8(img, bh, loh, bw, low)
+
+
+def video_transform_host_u8(frames_thwc_uint8, size: int = 224,
+                            flip: bool = False):
+    """--uint8_upload variant of `video_transform_host`:
+    [T, H, W, 3] uint8 -> [3, T, size, size] uint8 (bilinear resample in
+    f32, rounded); normalize happens on device."""
+    from ..ingest import native
+    frames = np.asarray(frames_thwc_uint8)
+    t, h, w = frames.shape[:3]
+    bh, loh, bw, low = crop_resize_bands(h, w, size, "bilinear", False,
+                                         flip=flip)
+    out = np.empty((3, t, size, size), np.uint8)
+    for i in range(t):
+        r = native.resample_u8_u8(frames[i], bh, loh, bw, low)
+        if r is None:
+            return None
+        out[:, i] = r
+    return out
+
+
 def depth_transform_host(depth_hw, size: int = 224, max_depth: float = 10.0):
     """Host-side depth transform (DepthNorm in numpy + banded resample)."""
     from ..ingest import native

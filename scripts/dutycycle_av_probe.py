@@ -7,7 +7,9 @@ under it; the image-only workload on this 1-core host is input-bound by
 ~580 ms/batch of irreducible host CPU vs a 316 ms device step — see
 docs/PERF.md "input pipeline" for the measured balance.
 
-Usage: python scripts/dutycycle_av_probe.py [n_train] [batch]
+Usage: python scripts/dutycycle_av_probe.py [n_train] [batch] [-- extra...]
+Anything after `--` is forwarded to the train CLI (e.g. -- --uint8_upload
+true to measure the quantized-upload pipeline).
 """
 import io
 import os
@@ -87,11 +89,40 @@ def build_tree(n_train, n_valid=32, n_test=16, seed=0):
           flush=True)
 
 
+def measure_tunnel_bandwidth(mb=64, reps=3):
+    """Host->device upload MB/s through the tunnel. block_until_ready does
+    not synchronize on axon, so completion is forced by a scalar readback
+    of the uploaded buffer (docs/PERF.md 'input pipeline')."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    buf = np.ones((mb, 1 << 20), dtype=np.uint8)
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        d = jax.device_put(buf)
+        float(jnp.sum(d[0, :8]))  # force transfer completion
+        rates.append(mb / (time.time() - t0))
+        del d
+    return {"mb": mb, "reps": reps, "rates_mb_s": rates,
+            "best_mb_s": max(rates)}
+
+
 def main():
-    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    argv = sys.argv[1:]
+    extra = []
+    if "--" in argv:
+        i = argv.index("--")
+        argv, extra = argv[:i], argv[i + 1:]
+    n_train = int(argv[0]) if len(argv) > 0 else 256
+    batch = int(argv[1]) if len(argv) > 1 else 16
     if not os.path.exists(os.path.join(ROOT, "label.csv")):
         build_tree(n_train)
+
+    bw_before = measure_tunnel_bandwidth()
+    print(f"tunnel upload before: {bw_before['best_mb_s']:.1f} MB/s "
+          f"{['%.1f' % r for r in bw_before['rates_mb_s']]}", flush=True)
 
     from missm_tpu.cli.train import main as train_main
     _, hist = train_main([
@@ -103,13 +134,20 @@ def main():
         "--batch_size", str(batch), "--num_epochs", "3",
         "--learning_rate", "1e-4", "--patience", "8",
         "--save_path", "/tmp/duty_av_ckpt", "--log_dir", "/tmp/duty_av_logs",
-    ])
+    ] + extra)
+    bw_after = measure_tunnel_bandwidth()
+    print(f"tunnel upload after: {bw_after['best_mb_s']:.1f} MB/s", flush=True)
+
     # machine-readable duty artifact (VERDICT r2 missing #3): per-epoch
-    # duty, the min-calibrated device step, and the shapes used
+    # duty, the min-calibrated device step, the tunnel bandwidth at run
+    # time (duty is input-bound below ~60 MB/s on this 1-core host), and
+    # the shapes used
     import json
     out = {
         "workload": "eNTERFACE-style video+audio train, mixed real media",
-        "batch": batch, "n_train": n_train,
+        "batch": batch, "n_train": n_train, "extra_cli_args": extra,
+        "tunnel_upload_before": bw_before,
+        "tunnel_upload_after": bw_after,
         "resolutions": RESOLUTIONS, "n_frames": N_FRAMES,
         "wav_seconds": WAV_SECONDS,
         "epochs": [{k: e[k] for k in ("epoch", "duty", "step_ms",
