@@ -50,13 +50,21 @@ def _text_ids(rng, B):
     return ids
 
 
-def _time_loop(loop, *args):
-    """Compile+warm with one call, then time the second; one readback."""
+def _time_loop(loop, *args, reps=3):
+    """Compile+warm with one call, then time `reps` further calls and
+    return the fastest. Each call is already `iters` steps inside one
+    jitted fori_loop (dispatch cost amortized); the min over reps drops
+    transient tunnel/readback stalls (the platform's host<->device hop
+    swings 13-124 MB/s between sessions, docs/PERF.md) and reports the
+    sustained device rate."""
     import jax.numpy as jnp
     float(jnp.asarray(loop(*args), jnp.float32))
-    t0 = time.perf_counter()
-    float(jnp.asarray(loop(*args), jnp.float32))
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.asarray(loop(*args), jnp.float32))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _eval_model(jnp, jax, towers, modality_types, B, data_extra):
@@ -147,13 +155,20 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
     return B * iters / dt
 
 
-def bench_train3(jnp, jax, iters=10, B=8, remat="save_attn_mlp"):
+def bench_train3(jnp, jax, iters=10, B=8,
+                 remat=(("video", "save_attn_mlp"),
+                        ("audio", "save_attn_mlp_kern"),
+                        ("language", "save_attn_mlp"))):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
-    save_attn_mlp is the measured-best config on one 16 GB chip: at B=16
-    the policy's saved fc1 pre-activations (24*(8B)*257*4096*2B for the
-    video tower) exceed HBM and full remat measures slower (18.9 vs 19.3
-    samples/s; docs/PERF.md)."""
+    per-tower remat is the measured-best config on one 16 GB chip: at
+    B=16 the saved fc1 pre-activations (24*(8B)*257*4096*2B for the video
+    tower) exceed HBM and full remat measures slower (18.9 vs 19.3
+    samples/s). The AUDIO tower additionally keeps its attention-kernel
+    outputs (save_attn_mlp_kern — 399.0 -> 395.8 ms/step vs uniform
+    save_attn_mlp); the same policy on the VIDEO tower regresses 11%
+    (instance count 8x higher), and audio={False,save_most} OOM next to
+    the video tower's saved activations. Sweep: docs/PERF.md."""
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig

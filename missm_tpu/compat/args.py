@@ -28,10 +28,25 @@ def _bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
 
+_REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
+                   "save_most")
+
+
 def _remat(v):
-    if str(v) in ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
-                  "save_most"):
+    if str(v) in _REMAT_POLICIES:
         return str(v)
+    if "=" in str(v):
+        # per-modality spec, e.g. "video=True,audio=save_attn_mlp" with an
+        # optional default entry ("default=save_attn_mlp"); tower policy
+        # economics differ (docs/PERF.md train3 remat sweeps), so the flag
+        # accepts one policy per tower. Parsed to a hashable tuple of
+        # pairs; resolved per tower by models.encoder._remat_for.
+        out = []
+        for kv in str(v).split(","):
+            k, _, val = kv.partition("=")
+            out.append((k.strip(),
+                        val if val in _REMAT_POLICIES else _bool(val)))
+        return tuple(out)
     return _bool(v)
 
 
@@ -66,8 +81,11 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--remat", type=_remat, default=True,
                    help="true (full per-block remat), false, save_attn "
                         "(keep attention outputs; ~3-4%% faster training, "
-                        "+770 MB at ViT-L b64), or save_most (save all but "
-                        "the 4d-wide MLP tensors; fastest if it fits)")
+                        "+770 MB at ViT-L b64), save_most (save all but "
+                        "the 4d-wide MLP tensors; fastest if it fits), or "
+                        "a per-modality spec like "
+                        "'video=save_attn_mlp,audio=save_attn_mlp_kern' "
+                        "(policy economics differ per tower; docs/PERF.md)")
     p.add_argument("--bf16", type=_bool, default=True)
     p.add_argument("--uint8_upload", type=_bool, default=False,
                    help="ship resized image/video batches to the device as "

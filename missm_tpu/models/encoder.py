@@ -62,6 +62,20 @@ def to_device(x: Mapping, device=None):
     return {k: jax.device_put(v, device) for k, v in x.items()}
 
 
+def _remat_for(remat, modality):
+    """Resolve a remat spec for one tower. `remat` is either a single
+    policy (bool / policy-name string, applied to every tower) or a
+    per-modality spec — a Mapping or tuple of (modality, policy) pairs,
+    with an optional 'default' entry — because the policy economics
+    differ per tower (docs/PERF.md: save_attn_mlp wins for the image
+    tower but save_attn_mlp_kern regresses at video instance counts)."""
+    if isinstance(remat, tuple) and remat and isinstance(remat[0], tuple):
+        remat = dict(remat)
+    if isinstance(remat, Mapping):
+        return remat.get(modality, remat.get("default", False))
+    return remat
+
+
 def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
            *, use_temp: bool = True, train: bool = False, rng=None,
            remat: bool = False) -> Dict[str, jax.Array]:
@@ -71,6 +85,8 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
     Returns {modality: [B, projection_dim]} embeddings. Every present input
     is encoded; missing-modality masking is a *post-encoder* operation in the
     fusion heads (the reference's key invariant — SURVEY §3.4).
+
+    `remat` may be a single policy or a per-modality spec (see _remat_for).
     """
     out = {}
     any_cfg = next(iter(tower_cfgs.values()))
@@ -82,7 +98,8 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
             else:
                 ids, am = value, None
             _, pooled = text_features(params["language"]["text"],
-                                      any_cfg.text, ids, am, remat=remat,
+                                      any_cfg.text, ids, am,
+                                      remat=_remat_for(remat, "language"),
                                       projection=params["language"]["proj"])
             out[name] = l2_normalize(pooled)
         else:
@@ -91,7 +108,8 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
             if rng is not None:
                 rng, sub = jax.random.split(rng)
             pooled = vision_features(params[name]["vision"], cfg.vision,
-                                     value, train=train, rng=sub, remat=remat,
+                                     value, train=train, rng=sub,
+                                     remat=_remat_for(remat, name),
                                      projection=params[name]["proj"])
             pooled = l2_normalize(pooled)
             if use_temp:

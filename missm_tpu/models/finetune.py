@@ -30,7 +30,10 @@ class ModelConfig:
     towers: Tuple[Tuple[str, TowerConfig], ...]
     fusion: FusionConfig
     use_temp: bool = True
-    remat: bool | str = False  # True/'save_attn'/'save_attn_mlp'/'save_most'
+    # True/'save_attn'/'save_attn_mlp'/'save_attn_mlp_kern'/'save_most',
+    # or a per-modality tuple of (modality, policy) pairs with optional
+    # 'default' (encoder._remat_for) — policy economics differ per tower.
+    remat: bool | str | tuple = False
     compute_dtype: str = "float32"
 
     @property

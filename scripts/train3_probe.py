@@ -30,6 +30,10 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 REMAT = sys.argv[2] if len(sys.argv) > 2 else True
 if REMAT == "True":
     REMAT = True
+elif isinstance(REMAT, str) and "=" in REMAT:
+    # per-modality spec, e.g. "video=save_attn_mlp,audio=save_attn_mlp_kern"
+    from missm_tpu.compat.args import _remat
+    REMAT = _remat(REMAT)
 
 
 def main():
@@ -72,10 +76,14 @@ def main():
     t0 = time.perf_counter()
     float(jnp.asarray(loop(state, data, labels, missing, key), jnp.float32))
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    float(jnp.asarray(loop(state, data, labels, missing, key), jnp.float32))
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"train3 B={B}: {dt * 1e3:.1f} ms/step = "
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.asarray(loop(state, data, labels, missing, key),
+                          jnp.float32))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    dt = best
+    print(f"train3 B={B} remat={REMAT}: {dt * 1e3:.1f} ms/step = "
           f"{B / dt:.2f} samples/s/chip", flush=True)
 
 

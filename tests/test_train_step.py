@@ -236,3 +236,35 @@ def test_loss_parity_vs_torch():
     got_m = float(masked_kl_distill(jnp.asarray(s), jnp.asarray(t),
                                     jnp.asarray(mask), T))
     assert got_m == pytest.approx(ref_m, rel=1e-5)
+
+
+def test_per_modality_remat_matches_uniform():
+    """Remat is a recompute schedule, not math: a per-modality remat spec
+    (models.encoder._remat_for, --remat "video=...,audio=..." in
+    compat.args) must produce the same loss and updated params as a
+    uniform policy."""
+    import dataclasses
+
+    from missm_tpu.compat.args import _remat
+
+    spec = _remat("image=save_attn_mlp,audio=true,language=false")
+    assert spec == (("image", "save_attn_mlp"), ("audio", True),
+                    ("language", False))
+    assert _remat("save_attn") == "save_attn"
+    assert _remat("false") is False
+
+    data, labels, missing = tiny_batch()
+    results = []
+    for remat in (True, spec):
+        cfg = dataclasses.replace(tiny_model_cfg("sum"), remat=remat)
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        state, tx = init_train_state(params, cfg)
+        step = make_train_step(cfg, tx)
+        state, m = step(state, data, labels, missing, 1e-2,
+                        jax.random.PRNGKey(0))
+        results.append((float(m["loss"]),
+                        np.asarray(state.params["fusion"]["proj"]["image"]["w"])))
+
+    (loss_u, w_u), (loss_s, w_s) = results
+    assert loss_u == pytest.approx(loss_s, rel=1e-6)
+    np.testing.assert_allclose(w_u, w_s, atol=1e-6, rtol=1e-5)
