@@ -115,7 +115,12 @@ def bench_eval(jnp, jax, iters=20, B=64):
     return B * iters / dt
 
 
-def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp"):
+def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv"):
+    """save_attn_mlp_qkv additionally keeps the q/k/v projection outputs
+    (+2.4 GB at b64, fits): the backward skips the ln1+qkv replay —
+    254.8 -> 259.0 samples/s/chip vs save_attn_mlp (min-of-3, same
+    session; scripts/train_remat_ab.py). The same policy OOMs for the
+    train3 video tower (which also carries temporal-attention saves)."""
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig

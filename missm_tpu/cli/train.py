@@ -91,7 +91,8 @@ def main(argv=None):
         save_dir=save_path,
         final_path=os.path.join(final_dir, experiment),
         device_put=device_put, writer=writer,
-        args_metadata={k: v for k, v in vars(args).items()})
+        args_metadata={k: v for k, v in vars(args).items()},
+        accum_steps=getattr(args, "grad_accum", 1))
 
     if writer is not None:
         writer.close()

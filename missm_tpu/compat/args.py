@@ -29,7 +29,7 @@ def _bool(v):
 
 
 _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
-                   "save_most")
+                   "save_attn_mlp_qkv", "save_most")
 
 
 def _remat(v):
@@ -86,6 +86,14 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "a per-modality spec like "
                         "'video=save_attn_mlp,audio=save_attn_mlp_kern' "
                         "(policy economics differ per tower; docs/PERF.md)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per step: the "
+                        "batch splits into N equal microbatches scanned "
+                        "inside the jitted step (one Adam update, one "
+                        "microbatch's activations live at a time) — "
+                        "effective batches beyond HBM train on-chip. "
+                        "batch_size must be divisible by N. Not in the "
+                        "reference (A100-80GB never needed it)")
     p.add_argument("--bf16", type=_bool, default=True)
     p.add_argument("--uint8_upload", type=_bool, default=False,
                    help="ship resized image/video batches to the device as "
@@ -174,4 +182,8 @@ def _finalize(parser: argparse.ArgumentParser, argv):
         import sys
         raw = argv if argv is not None else sys.argv[1:]
         apply_yaml_config(args, args.config, explicit_cli_keys(parser, raw))
+    accum = getattr(args, "grad_accum", 1)
+    if accum > 1 and args.batch_size % accum:
+        parser.error(f"--batch_size {args.batch_size} must be divisible by "
+                     f"--grad_accum {accum} (equal microbatches)")
     return args

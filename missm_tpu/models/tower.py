@@ -328,6 +328,13 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
             # the forward attention kernel (spatial AND packed temporal).
             policy = checkpoint_policies.save_only_these_names(
                 "attn_out", "mlp_wide", "attn_kernel_out")
+        elif remat == "save_attn_mlp_qkv":
+            # additionally keep the q/k/v projection outputs: the
+            # attention-kernel VJP consumes them, so the backward skips
+            # the ln1 + qkv matmul replay (~103 GFLOP/layer at 64 ViT-L
+            # instances) at ~3x attn_out's memory (ops.attention._qkv).
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "qkv")
         elif remat == "save_most":
             policy = checkpoint_policies.save_anything_except_these_names(
                 "mlp_wide", "mlp_wide_act")

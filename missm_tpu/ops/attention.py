@@ -14,6 +14,16 @@ import jax.numpy as jnp
 from .basic import linear
 
 
+def _qkv(t):
+    """Tag a q/k/v projection output for the 'save_attn_mlp_qkv' remat
+    policy (models.tower): saving these lets the backward feed the
+    attention-kernel VJP directly instead of replaying ln1 + the qkv
+    matmuls (~103 GFLOP/layer at 64 ViT-L instances). No-op outside
+    jax.checkpoint or under policies that don't name 'qkv'."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(t, "qkv")
+
+
 def multi_head_attention(params, x, *, num_heads: int, bias=None,
                          causal: bool = False, key_bias=None,
                          lora_scaling: float | None = None):
@@ -34,14 +44,14 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     hd = D // H
     scale = hd ** -0.5
 
-    q = linear(params["q"], x, lora_scaling=lora_scaling)
+    q = _qkv(linear(params["q"], x, lora_scaling=lora_scaling))
 
     if bias is None and (causal or key_bias is not None) and _fused_ok(hd, N):
         from ..kernels.flash_attention import (causal_available,
                                                fused_attention_causal_ad)
         if causal and causal_available(H, hd, N):
-            k = linear(params["k"], x, lora_scaling=lora_scaling)
-            v = linear(params["v"], x, lora_scaling=lora_scaling)
+            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
+            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
             kb = (key_bias if key_bias is not None
                   else jnp.zeros((B, 1, N), jnp.float32))
             out = fused_attention_causal_ad(q, k, v, kb, H)
@@ -57,16 +67,20 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
             # kernel's score dots see an exact-lane 256-key block and the
             # single CLS column folds in on the VPU — removes the
             # 257->384 lane-tile padding (~1.5x MXU waste, docs/PERF.md)
-            k_cls = linear(params["k"], x[:, :1], lora_scaling=lora_scaling)
-            k_main = linear(params["k"], x[:, 1:], lora_scaling=lora_scaling)
-            v_cls = linear(params["v"], x[:, :1], lora_scaling=lora_scaling)
-            v_main = linear(params["v"], x[:, 1:], lora_scaling=lora_scaling)
+            k_cls = _qkv(linear(params["k"], x[:, :1],
+                                lora_scaling=lora_scaling))
+            k_main = _qkv(linear(params["k"], x[:, 1:],
+                                 lora_scaling=lora_scaling))
+            v_cls = _qkv(linear(params["v"], x[:, :1],
+                                lora_scaling=lora_scaling))
+            v_main = _qkv(linear(params["v"], x[:, 1:],
+                                 lora_scaling=lora_scaling))
             out = fused_attention_cls_ad(q, k_cls, k_main, v_cls, v_main, H)
         else:
             # fused kernel consumes/produces the natural [B, N, D] layout —
             # no head transposes materialize
-            k = linear(params["k"], x, lora_scaling=lora_scaling)
-            v = linear(params["v"], x, lora_scaling=lora_scaling)
+            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
+            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
             out = fused_attention_ad(q, k, v, H)
     else:
         if causal:
@@ -114,9 +128,9 @@ def short_attention(params, x, *, num_heads: int,
         return multi_head_attention(params, x, num_heads=num_heads,
                                     lora_scaling=lora_scaling)
 
-    q = linear(params["q"], x, lora_scaling=lora_scaling)
-    k = linear(params["k"], x, lora_scaling=lora_scaling)
-    v = linear(params["v"], x, lora_scaling=lora_scaling)
+    q = _qkv(linear(params["q"], x, lora_scaling=lora_scaling))
+    k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
+    v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
 
     pack = pack_to // T
     full = (M // pack) * pack

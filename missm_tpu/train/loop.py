@@ -51,7 +51,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                device_put: Callable = lambda x: x,
                writer=None, log: Callable = print,
                args_metadata: Optional[dict] = None,
-               sync_every: int = 32):
+               sync_every: int = 32, accum_steps: int = 1):
     """Returns (best_params, history). `writer` is an optional TensorBoard
     SummaryWriter-compatible object.
 
@@ -62,7 +62,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     (docs/PERF.md), which this avoids."""
     state, tx = init_train_state(params, cfg, weight_decay=weight_decay,
                                  teacher_fusion=teacher_fusion)
-    step_fn = make_train_step(cfg, tx)
+    step_fn = make_train_step(cfg, tx, accum_steps=accum_steps)
     eval_fn = make_eval_step(cfg)
 
     plateau = plateau_init()

@@ -116,21 +116,59 @@ def compute_loss(params, teacher_fusion, cfg: ModelConfig, data, labels,
     return ce, logits
 
 
-def make_train_step(cfg: ModelConfig, tx):
-    """Returns jitted step(state, batch, lr, rng) -> (state, metrics)."""
+def make_train_step(cfg: ModelConfig, tx, accum_steps: int = 1):
+    """Returns jitted step(state, batch, lr, rng) -> (state, metrics).
+
+    accum_steps > 1 enables gradient accumulation: the batch is split
+    into `accum_steps` equal microbatches scanned INSIDE the jitted step
+    (one dispatch, one Adam update), so only one microbatch's
+    activations are live at a time — effective batch sizes whose
+    activations exceed HBM (docs/PERF.md train3 remat sweeps) train
+    without leaving the device. The CE loss matches the full-batch mean
+    exactly (mean of equal-microbatch means); distillation terms whose
+    normalizers are data-dependent (self_distill's masked KL) become
+    means of per-microbatch means — same as running the microbatches as
+    separate steps. Each microbatch draws its own dropout rng. Not in
+    the reference (whose A100-80GB never needed it)."""
 
     ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
 
     def step_fn(state: TrainState, data, labels, missing_index, lr, rng):
         treedef, trainable, frozen = partition_trainable(state.params, cfg)
 
-        def loss_fn(trainable):
+        def loss_fn(trainable, data, labels, missing_index, rng):
             params = combine_params(treedef, trainable, frozen)
             return compute_loss(params, state.teacher_fusion, cfg, data,
                                 labels, missing_index, rng)
 
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps == 1:
+            (loss, logits), grads = grad_fn(trainable, data, labels,
+                                            missing_index, rng)
+        else:
+            A = accum_steps
+            assert labels.shape[0] % A == 0, (
+                f"batch {labels.shape[0]} not divisible by "
+                f"accum_steps {A}")
+
+            def split(x):
+                return x.reshape((A, x.shape[0] // A) + x.shape[1:])
+
+            micro = (jax.tree_util.tree_map(split, dict(data)),
+                     split(labels), split(missing_index),
+                     jax.random.split(rng, A))
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                (l, _), g = grad_fn(trainable, *xs)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), None
+
+            (g_sum, l_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / A, g_sum)
+            loss = l_sum / A
         updates, new_opt = tx.update(grads, state.opt_state, trainable)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_trainable = optax.apply_updates(trainable, updates)

@@ -1,0 +1,28 @@
+"""A/B the image-tower train step across remat policies with bench.py's
+own in-jit methodology (one jitted fori_loop, min-of-3 timed calls).
+
+Run: python scripts/train_remat_ab.py [policy ...]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from missm_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import bench
+
+    policies = sys.argv[1:] or ["save_attn_mlp", "save_attn_mlp_qkv"]
+    for pol in policies:
+        r = bench.bench_train(jnp, jax, remat=pol)
+        print(f"train b64 remat={pol}: {r:.1f} samples/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

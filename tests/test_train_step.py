@@ -268,3 +268,68 @@ def test_per_modality_remat_matches_uniform():
     (loss_u, w_u), (loss_s, w_s) = results
     assert loss_u == pytest.approx(loss_s, rel=1e-6)
     np.testing.assert_allclose(w_u, w_s, atol=1e-6, rtol=1e-5)
+
+
+def test_grad_accum_matches_manual_microbatching():
+    """accum_steps=2 must equal manually averaging the two half-batch
+    gradients (same per-microbatch rng split) and applying one Adam
+    update — the scan accumulates, it does not change the math.
+
+    (The manual reference runs FIRST: the jitted step donates the state
+    buffers, after which the shared param arrays are deleted.)"""
+    import optax
+
+    from missm_tpu.train.step import (combine_params, compute_loss,
+                                      partition_trainable)
+
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = tiny_batch()
+    rng = jax.random.PRNGKey(7)
+
+    # manual reference: two half-batch grads, averaged, one Adam update
+    treedef, trainable, frozen = partition_trainable(params, cfg)
+
+    def loss_fn(tr, d, lb, mi, r):
+        return compute_loss(combine_params(treedef, tr, frozen), None, cfg,
+                            d, lb, mi, r)[0]
+
+    h = B // 2
+    rngs = jax.random.split(rng, 2)
+    grads, losses = None, []
+    for i in range(2):
+        sl = slice(i * h, (i + 1) * h)
+        d = {k: v[sl] for k, v in data.items()}
+        g = jax.grad(loss_fn)(trainable, d, labels[sl], missing[sl], rngs[i])
+        losses.append(float(loss_fn(trainable, d, labels[sl], missing[sl],
+                                    rngs[i])))
+        grads = g if grads is None else jax.tree_util.tree_map(
+            jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda x: x / 2, grads)
+
+    state0, tx0 = init_train_state(params, cfg)
+    updates, _ = tx0.update(grads, state0.opt_state, trainable)
+    updates = jax.tree_util.tree_map(lambda u: -1e-2 * u, updates)
+    expect = jax.tree_util.tree_map(
+        jnp.copy, combine_params(treedef,
+                                 optax.apply_updates(trainable, updates),
+                                 frozen))
+
+    # accumulated step (donates state0's buffers)
+    step = make_train_step(cfg, tx0, accum_steps=2)
+    state_a, m = step(state0, data, labels, missing, 1e-2, rng)
+
+    assert float(m["loss"]) == pytest.approx(np.mean(losses), rel=1e-6)
+    got = state_a.params["encoder"]["image"]["vision"]["blocks"]["attn"]
+    want = expect["encoder"]["image"]["vision"]["blocks"]["attn"]
+    for k in ("q", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]["w"]),
+                                   np.asarray(want[k]["w"]),
+                                   atol=1e-6, rtol=1e-5)
+
+    # batch not divisible by accum_steps fails loudly at trace time
+    params2 = init_model_params(jax.random.PRNGKey(0), cfg)
+    state2, tx2 = init_train_state(params2, cfg)
+    with pytest.raises(AssertionError):
+        make_train_step(cfg, tx2, accum_steps=3)(state2, data, labels,
+                                                 missing, 1e-2, rng)
