@@ -163,7 +163,8 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv"):
 def bench_train3(jnp, jax, iters=10, B=8,
                  remat=(("video", "save_attn_mlp"),
                         ("audio", "save_attn_mlp_kern"),
-                        ("language", "save_attn_mlp"))):
+                        ("language", "save_attn_mlp")),
+                 accum_steps=1):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
     per-tower remat is the measured-best config on one 16 GB chip: at
@@ -188,7 +189,7 @@ def bench_train3(jnp, jax, iters=10, B=8,
                       compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     state, tx = init_train_state(params, cfg)
-    step = make_train_step(cfg, tx)
+    step = make_train_step(cfg, tx, accum_steps=accum_steps)
 
     rng = np.random.default_rng(0)
     data = {
