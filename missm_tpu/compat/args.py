@@ -32,9 +32,24 @@ _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
                    "save_attn_mlp_qkv", "save_most")
 
 
+def _remat_value(val):
+    """One remat value: a policy name or a bool. A typo'd policy must be
+    a loud parse error, not a silent False — remat silently off OOMs
+    ViT-L workloads (docs/PERF.md)."""
+    val = str(val).strip()
+    if val in _REMAT_POLICIES:
+        return val
+    low = val.lower()
+    if low in ("1", "true", "yes"):
+        return True
+    if low in ("0", "false", "no"):
+        return False
+    raise argparse.ArgumentTypeError(
+        f"unknown remat policy {val!r}; expected true/false or one of "
+        f"{', '.join(_REMAT_POLICIES)}")
+
+
 def _remat(v):
-    if str(v) in _REMAT_POLICIES:
-        return str(v)
     if "=" in str(v):
         # per-modality spec, e.g. "video=True,audio=save_attn_mlp" with an
         # optional default entry ("default=save_attn_mlp"); tower policy
@@ -44,10 +59,9 @@ def _remat(v):
         out = []
         for kv in str(v).split(","):
             k, _, val = kv.partition("=")
-            out.append((k.strip(),
-                        val if val in _REMAT_POLICIES else _bool(val)))
+            out.append((k.strip(), _remat_value(val)))
         return tuple(out)
-    return _bool(v)
+    return _remat_value(v)
 
 
 def _common_model_flags(p: argparse.ArgumentParser):
@@ -183,6 +197,8 @@ def _finalize(parser: argparse.ArgumentParser, argv):
         raw = argv if argv is not None else sys.argv[1:]
         apply_yaml_config(args, args.config, explicit_cli_keys(parser, raw))
     accum = getattr(args, "grad_accum", 1)
+    if accum < 1:
+        parser.error(f"--grad_accum must be >= 1, got {accum}")
     if accum > 1 and args.batch_size % accum:
         parser.error(f"--batch_size {args.batch_size} must be divisible by "
                      f"--grad_accum {accum} (equal microbatches)")

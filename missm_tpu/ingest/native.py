@@ -105,7 +105,10 @@ def _load():
             f32p, i32p, ctypes.c_int, ctypes.c_int,
             f32p, i32p, ctypes.c_int, ctypes.c_int, f32p]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # OSError: no .so / unloadable. AttributeError: a stale prebuilt
+        # .so missing a newer symbol (the .so is gitignored — users who
+        # pull without `make -C cpp` must fall back, not crash).
         _LIB = None
     return _LIB
 

@@ -72,7 +72,10 @@ def _remat_for(remat, modality):
     if isinstance(remat, tuple) and remat and isinstance(remat[0], tuple):
         remat = dict(remat)
     if isinstance(remat, Mapping):
-        return remat.get(modality, remat.get("default", False))
+        # towers a partial spec doesn't name inherit full remat (True) —
+        # the CLI default — not False: silently disabling remat on an
+        # unnamed tower OOMs ViT-L workloads (docs/PERF.md).
+        return remat.get(modality, remat.get("default", True))
     return remat
 
 

@@ -62,6 +62,15 @@ def _dequantize(x, dtype):
     return ((x.astype(jnp.float32) / 255.0 - mean) / std).astype(dtype)
 
 
+def _dequantize_tree(data: Mapping, dtype):
+    """Dequantize any uint8 media entries (--uint8_upload) in a data
+    dict; language ids and already-float media pass through."""
+    return {k: (_dequantize(v, dtype)
+                if k != "language" and getattr(v, "dtype", None) == jnp.uint8
+                else v)
+            for k, v in data.items()}
+
+
 def init_model_params(key, cfg: ModelConfig):
     k1, k2 = jax.random.split(key)
     return {
@@ -79,10 +88,7 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
         r_enc, r_fus = jax.random.split(rng)
     enc_params = params["encoder"]
     dt = jnp.dtype(cfg.compute_dtype)
-    data = {k: (_dequantize(v, dt)
-                if k != "language" and getattr(v, "dtype", None) == jnp.uint8
-                else v)
-            for k, v in data.items()}
+    data = _dequantize_tree(data, dt)
     if cfg.compute_dtype != "float32":
         enc_params = _cast_tree(enc_params, dt)
         data = {k: (_cast_tree(v, dt) if k != "language" else v)
@@ -98,9 +104,6 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
 
 def embed_only(params, cfg: ModelConfig, data: Mapping):
     """Encoder-only pass (the statistics pass of test.py:98-115)."""
-    data = {k: (_dequantize(v, jnp.float32)
-                if k != "language" and getattr(v, "dtype", None) == jnp.uint8
-                else v)
-            for k, v in data.items()}
+    data = _dequantize_tree(data, jnp.float32)
     return encode(params["encoder"], cfg.tower_dict, data,
                   use_temp=cfg.use_temp)

@@ -482,6 +482,11 @@ def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
         # layout (image/modeling_image.py:630-634): flatten to (B, T, C, H, W)
         b_new, pair, T, bs, C, H, W = pixel_values.shape
         B = b_new * pair * bs
+        # row_offset arrives in outer-batch units (vision_features chunk
+        # index); _patch_dropout folds in GLOBAL video indices, and each
+        # outer row holds pair*bs videos here — rescale so chunked runs
+        # never reuse a video's dropout mask across chunks.
+        row_offset = row_offset * pair * bs
         frames = pixel_values.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
             B, T, C, H, W)
         lhs, dims = frames, ("NTCHW", "ITHWO", "NTHWC")

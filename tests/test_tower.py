@@ -200,3 +200,26 @@ def test_vision_chunking_equivalence():
                               projection=params["visual_projection"])
     np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
                                rtol=0, atol=1e-6)
+
+
+def test_patch_dropout_chunk_invariant_7d():
+    """7-D retrieval-pair layout: each outer row holds pair*bs videos, so
+    the chunk row_offset must advance in VIDEO units — chunked train-mode
+    dropout must equal the unchunked stream (the 5-D case is covered by
+    the fold_in design; this pins the 7-D rescale)."""
+    import dataclasses
+    cfg = tiny_tower("video", force_patch_dropout=0.5)
+    vcfg = dataclasses.replace(cfg.vision, use_tube3d=False)
+    params = init_tower_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 2, 2, 1, 3, 32, 32)), jnp.float32)  # b=4 pair=2 T=2 bs=1
+    rng = jax.random.PRNGKey(3)
+    whole = vision_features(params["vision"], vcfg, px, train=True, rng=rng,
+                            projection=params["visual_projection"])
+    # inst_per = pair*T*bs = 4 -> per_chunk = 2 outer rows, 2 chunks
+    ccfg = dataclasses.replace(vcfg, chunk_instances=8)
+    chunked = vision_features(params["vision"], ccfg, px, train=True,
+                              rng=rng,
+                              projection=params["visual_projection"])
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(chunked),
+                               rtol=0, atol=1e-6)

@@ -333,3 +333,36 @@ def test_grad_accum_matches_manual_microbatching():
     with pytest.raises(AssertionError):
         make_train_step(cfg, tx2, accum_steps=3)(state2, data, labels,
                                                  missing, 1e-2, rng)
+
+
+def test_remat_spec_validation_and_partial_default():
+    """A typo'd remat policy must be a loud parse error (silently-off
+    remat OOMs ViT-L workloads), and towers a partial per-modality spec
+    does not name inherit full remat (True), the CLI default."""
+    import argparse
+
+    from missm_tpu.compat.args import _remat
+    from missm_tpu.models.encoder import _remat_for
+
+    with pytest.raises(argparse.ArgumentTypeError):
+        _remat("save_atn_mlp")  # typo, no '='
+    with pytest.raises(argparse.ArgumentTypeError):
+        _remat("video=save_atn_mlp,audio=save_attn_mlp_kern")
+    # whitespace-padded values parse (only keys were stripped before)
+    spec = _remat("video=save_attn_mlp , audio=true")
+    assert dict(spec) == {"video": "save_attn_mlp", "audio": True}
+    assert _remat_for(spec, "language") is True
+    assert _remat_for(_remat("video=save_attn_mlp,default=false"),
+                      "language") is False
+
+
+def test_grad_accum_arg_validation():
+    from missm_tpu.compat.args import train_args
+
+    base = ["--datasetName", "mvsa", "--csv_path", "x.csv",
+            "--batch_size", "6"]
+    with pytest.raises(SystemExit):
+        train_args(base + ["--grad_accum", "0"])
+    with pytest.raises(SystemExit):
+        train_args(base + ["--grad_accum", "4"])  # 6 % 4
+    assert train_args(base + ["--grad_accum", "3"]).grad_accum == 3
