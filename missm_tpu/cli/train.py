@@ -92,7 +92,8 @@ def main(argv=None):
         final_path=os.path.join(final_dir, experiment),
         device_put=device_put, writer=writer,
         args_metadata={k: v for k, v in vars(args).items()},
-        accum_steps=getattr(args, "grad_accum", 1))
+        accum_steps=getattr(args, "grad_accum", 1),
+        profile_dir=getattr(args, "profile_dir", None))
 
     if writer is not None:
         writer.close()

@@ -108,6 +108,11 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "effective batches beyond HBM train on-chip. "
                         "batch_size must be divisible by N. Not in the "
                         "reference (A100-80GB never needed it)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of steady-"
+                        "state train steps (epoch-0 batches 4-6) to this "
+                        "directory — Perfetto / TensorBoard-profile "
+                        "viewable")
     p.add_argument("--bf16", type=_bool, default=True)
     p.add_argument("--uint8_upload", type=_bool, default=False,
                    help="ship resized image/video batches to the device as "

@@ -51,7 +51,8 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                device_put: Callable = lambda x: x,
                writer=None, log: Callable = print,
                args_metadata: Optional[dict] = None,
-               sync_every: int = 32, accum_steps: int = 1):
+               sync_every: int = 32, accum_steps: int = 1,
+               profile_dir: Optional[str] = None):
     """Returns (best_params, history). `writer` is an optional TensorBoard
     SummaryWriter-compatible object.
 
@@ -74,6 +75,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     batch_size = train_loader.batch_size
 
     step_dev_s = None  # calibrated pure device step time (epoch 0)
+    profiling = False  # --profile_dir: trace epoch-0 batches 4-6
     for epoch in range(num_epochs):
         t0 = time.time()
         loss_acc = None  # device-resident running sum — no per-step readback
@@ -107,10 +109,26 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                     w = time.perf_counter() - t_d
                     step_dev_s = w if step_dev_s is None else min(
                         step_dev_s, w)
+            if profile_dir and epoch == 0:
+                # capture steady-state steps (post-compile, post-
+                # calibration): batches 4-6 under jax.profiler —
+                # Perfetto/TensorBoard-viewable device trace. Drain
+                # before start/stop so the window holds whole steps.
+                if n_batches == 3 and not profiling:
+                    float(loss_acc)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif n_batches == 6 and profiling:
+                    float(loss_acc)
+                    jax.profiler.stop_trace()
+                    profiling = False
             if sync_every and n_batches % sync_every == 0:
                 float(loss_acc)  # drains the device queue; value unchanged
             t_in = time.perf_counter()
             step_s += t_in - t_now
+        if profiling:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            profiling = False
         t_now = time.perf_counter()
         avg_train_loss = (float(loss_acc) / n_batches if n_batches else 0.0)
         step_s += time.perf_counter() - t_now  # final drain is device time

@@ -42,3 +42,31 @@ def test_train_then_test_cli(workspace):
     for mt, per_ratio in results["sum"].items():
         for r, m in per_ratio.items():
             assert np.isfinite(m["accuracy"])
+
+
+def test_train_cli_profile_dir(tmp_path, monkeypatch):
+    """--profile_dir captures a jax.profiler trace of steady-state steps
+    (epoch-0 batches 4-6) viewable in Perfetto/TensorBoard-profile.
+
+    batch_size is PER DEVICE (8 virtual devices in the suite), so the
+    tree needs >= 4 * 8 rows for the trace window to open; 40 rows at
+    batch 1 give 5 batches — the epoch-end safety stop closes the
+    window."""
+    from missm_tpu.cli.train import main as train_main
+
+    data_root = tmp_path / "mvsa_multiple"
+    csv = make_mvsa_tree(str(data_root), n_train=40, write_media=True)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+
+    prof = str(tmp_path / "trace")
+    argv = ["--datasetName", "mvsa", "--csv_path", csv,
+            "--modality_types", "language", "image",
+            "--fusion_type", "sum", "--model_scale", "tiny",
+            "--hash_tokenizer", "--init", "random", "--batch_size", "1",
+            "--num_epochs", "1", "--num_workers", "0",
+            "--profile_dir", prof]
+    train_main(argv)
+    hits = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+    assert hits, f"no trace files written under {prof}"
