@@ -54,6 +54,63 @@ def _softmax_f32(s):
     return e / jnp.sum(e, axis=2, keepdims=True)
 
 
+def _fwd_budget(hd: int, N: int):
+    """VMEM-fit predicate for the forward kernels: one f32 [G, N, N]
+    score block + ~6 staged [N, hd] rows per head, capped at ~10 of the
+    16 MB."""
+    return lambda g: g * (N * N * 4 + 6 * N * hd) <= 10 * 1024 * 1024
+
+
+def _bwd_budget(hd: int, N: int):
+    """Backward is stricter: TWO f32 [G, N, N] live values (P and dP)
+    plus seven I/O blocks; capped at 8 MB."""
+    return lambda g: g * (2 * N * N * 4 + 16 * N * hd) <= 8 * 1024 * 1024
+
+
+def _select_group(num_heads: int, hd: int, N: int, *, budget, cap: int,
+                  requested: int | None = None, even_only: bool = False,
+                  fallback_min: bool = False):
+    """Head group for one kernel configuration — the ONE selector behind
+    every fused-attention entry point (fwd/bwd, plain/cls-split).
+
+    - Mosaic lane constraint: the block's last dim (G*hd) must be
+      128-divisible, or G == num_heads (the full model dim);
+    - `budget(g)` is the VMEM-fit predicate (_fwd_budget/_bwd_budget);
+    - `cap` prefers the largest group below it (amortizes grid overhead
+      — measured best at 16 fwd / 8 bwd, scripts/ablation_probe.py);
+    - `even_only` for kernels where pair packing is mandatory.
+
+    An explicitly `requested` group is VALIDATED, never substituted: a
+    silent replacement mislabels probe data, and an unvalidated pass-
+    through makes a non-divisor group drop heads (uninitialized output
+    columns). Auto mode returns the best candidate, the smallest lane-
+    valid group if nothing fits the budget (`fallback_min` — Mosaic
+    still errors loudly if it truly cannot fit), or None."""
+    def lane_ok(g):
+        return (g * hd) % 128 == 0 or g == num_heads
+
+    if requested is not None:
+        if (num_heads % requested or not lane_ok(requested)
+                or (even_only and requested % 2) or not budget(requested)):
+            raise ValueError(
+                f"invalid head group {requested} for num_heads={num_heads},"
+                f" head_dim={hd}, N={N}: it must divide num_heads, keep "
+                f"the block lane-aligned (group*head_dim % 128 == 0 or "
+                f"group == num_heads),"
+                + (" be even (pair packing)," if even_only else "")
+                + " and fit the VMEM budget")
+        return requested
+    start, step = (2, 2) if even_only else (1, 1)
+    lane_valid = [d for d in range(start, num_heads + 1, step)
+                  if num_heads % d == 0 and lane_ok(d)]
+    cands = [d for d in lane_valid if budget(d) and d <= cap]
+    if cands:
+        return max(cands)
+    if fallback_min and lane_valid:
+        return min(lane_valid)
+    return None
+
+
 def _attn_kernel_packed(q_ref, k_ref, v_ref, *rest, pairs: int,
                         head_dim: int, scale: float, batch_block: int,
                         block_diag: int = 0, causal: bool = False,
@@ -205,14 +262,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, group: int,
         if block_diag:
             # packed short-sequence mode: rows may only attend within their
             # own `block_diag`-sized instance
-            n = s.shape[1]
-            r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_diag
-            c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_diag
-            s = jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
+            s = _block_diag_mask_f32(s, block_diag)
 
-        m = jnp.max(s, axis=2, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=2, keepdims=True)).astype(qs.dtype)
+        p = _softmax_f32(s).astype(qs.dtype)
 
         o = jax.lax.dot_general(
             p, vs[...], dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -241,35 +293,18 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
 
     B, N, D = q.shape
     hd = D // num_heads
-    # Group selection among divisors of num_heads:
-    # - Mosaic lane constraint: block last dim (G*hd) must be 128-divisible
-    #   (or the full model dim, i.e. G == num_heads);
-    # - VMEM budget: the f32 score block is G*N*N*4 bytes + staging; cap so
-    #   long sequences (audio tower: N=593) fit in ~10 of the 16 MB;
-    # - otherwise prefer the largest group <= 16 (amortizes grid overhead —
-    #   scripts/ablation_probe.py).
-    def _lane_ok(g):
-        return (g * hd) % 128 == 0 or g == num_heads
-
-    def _fits(g):
-        return g * (N * N * 4 + 6 * N * hd) <= 10 * 1024 * 1024
-
-    divisors = [d for d in range(1, num_heads + 1) if num_heads % d == 0]
-    lane_valid = [d for d in divisors if _lane_ok(d)]
-    candidates = [d for d in lane_valid if _fits(d) and d <= max(group or 16,
-                                                                 1)]
-    if group is not None and num_heads % group == 0 and _lane_ok(group):
-        chosen = group if _fits(group) else (max(candidates)
-                                             if candidates else min(lane_valid))
-    else:
-        chosen = max(candidates) if candidates else min(lane_valid)
-    group = chosen
+    group = _select_group(num_heads, hd, N, budget=_fwd_budget(hd, N),
+                          cap=16, requested=group, fallback_min=True)
     bb = math.gcd(B, batch_block)
     # Pair-packed kernel whenever heads come in lane-aligned pairs
     # (hd=64 -> 128-lane tiles): no 64-lane relayout copies, full-width
     # MXU contractions. Fall back to the per-head kernel otherwise.
     if packed is None:
         packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
+    elif packed and ((2 * hd) % 128 != 0 or group % 2):
+        raise ValueError(
+            f"packed=True needs pair-packable heads (2*head_dim divisible "
+            f"by 128) and an even group; got head_dim={hd}, group={group}")
     if (causal or kbias is not None) and not packed:
         raise ValueError("causal/kbias need the pair-packed kernel")
     if packed:
@@ -308,18 +343,10 @@ def fused_attention(q, k, v, num_heads: int, group: int | None = None,
 
 
 def _cls_group(num_heads: int, hd: int, N: int, group: int | None):
-    """Largest even head group for the cls-split kernels (pair packing is
-    mandatory there): lane-aligned, VMEM-bounded, <= 16."""
-    def _lane_ok(g):
-        return (g * hd) % 128 == 0 or g == num_heads
-
-    def _fits(g):
-        return g * (N * N * 4 + 6 * N * hd) <= 10 * 1024 * 1024
-
-    cands = [d for d in range(2, num_heads + 1, 2)
-             if num_heads % d == 0 and _lane_ok(d) and _fits(d)
-             and d <= (group or 16)]
-    return max(cands) if cands else None
+    """Head group for the cls-split forward (pair packing mandatory):
+    even, lane-aligned, VMEM-bounded, <= 16; explicit groups validated."""
+    return _select_group(num_heads, hd, N, budget=_fwd_budget(hd, N),
+                         cap=16, requested=group, even_only=True)
 
 
 def fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads: int,
@@ -456,17 +483,9 @@ def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
     B, N, D = q.shape
     nm = k_main.shape[1]
     hd = D // num_heads
-
-    def _fits(d):
-        return d * (2 * N * N * 4 + 16 * N * hd) <= 8 * 1024 * 1024
-
+    group = _select_group(num_heads, hd, N, budget=_bwd_budget(hd, N),
+                          cap=8, requested=group, even_only=True)
     if group is None:
-        cands = [d for d in range(2, num_heads + 1, 2)
-                 if num_heads % d == 0 and ((d * hd) % 128 == 0
-                                            or d == num_heads)
-                 and _fits(d) and d <= 8]
-        group = max(cands) if cands else None
-    if group is None or group % 2:
         raise ValueError("no valid head group for cls-split backward")
     kernel = functools.partial(_attn_bwd_kernel_packed_cls, pairs=group // 2,
                                head_dim=hd, scale=hd ** -0.5)
@@ -503,18 +522,27 @@ def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
 
 
 def causal_available(num_heads: int, head_dim: int, seq_len: int) -> bool:
-    """Causal/key-bias fusion needs the pair-packed kernel."""
+    """Causal/key-bias fusion needs the pair-packed kernel. (Backward is
+    the XLA einsum gradient, so only the forward budget gates here.)"""
     return ((2 * head_dim) % 128 == 0 and head_dim % 128 != 0
             and _cls_group(num_heads, head_dim, seq_len, None) is not None)
 
 
 def cls_split_available(num_heads: int, head_dim: int, seq_len: int) -> bool:
     """The cls-split kernels apply when the non-CLS token count is an exact
-    lane multiple and heads pack in 128-lane pairs (ViT-L/14: 257, hd 64)."""
+    lane multiple and heads pack in 128-lane pairs (ViT-L/14: 257, hd 64).
+
+    Gates on BOTH the forward and the (stricter, 2-score-block) backward
+    budgets: ops.attention routes fwd AND bwd through the cls pair as one
+    custom-VJP unit, so a forward-only fit would compile, run eval fine,
+    and then die in the first training step's backward."""
     return ((seq_len - 1) % 128 == 0 and seq_len > 128
             and (2 * head_dim) % 128 == 0 and head_dim % 128 != 0
             and num_heads % 2 == 0
-            and _cls_group(num_heads, head_dim, seq_len, None) is not None)
+            and _cls_group(num_heads, head_dim, seq_len, None) is not None
+            and _select_group(num_heads, head_dim, seq_len,
+                              budget=_bwd_budget(head_dim, seq_len),
+                              cap=8, even_only=True) is not None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -657,13 +685,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         qs[...], ks[...], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale       # [G, N, N] f32
     if block_diag:
-        n = s.shape[1]
-        r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block_diag
-        c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block_diag
-        s = jnp.where((r == c)[None], s, jnp.finfo(jnp.float32).min)
-    m = jnp.max(s, axis=2, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=2, keepdims=True)             # [G, N, N] f32
+        s = _block_diag_mask_f32(s, block_diag)
+    p = _softmax_f32(s)                                   # [G, N, N] f32
     pb = p.astype(qs.dtype)
 
     # dv[k,d] = sum_q P[q,k] g[q,d]
@@ -698,21 +721,15 @@ def fused_attention_bwd(q, k, v, g, num_heads: int, block_diag: int = 0,
     seven I/O blocks must fit."""
     B, N, D = q.shape
     hd = D // num_heads
-
-    def _lane_ok(d):
-        return (d * hd) % 128 == 0 or d == num_heads
-
-    def _fits(d):
-        return d * (2 * N * N * 4 + 16 * N * hd) <= 8 * 1024 * 1024
-
-    if group is None:
-        divisors = [d for d in range(1, num_heads + 1) if num_heads % d == 0]
-        lane_valid = [d for d in divisors if _lane_ok(d)]
-        cands = [d for d in lane_valid if _fits(d) and d <= 8]
-        group = max(cands) if cands else min(lane_valid)
+    group = _select_group(num_heads, hd, N, budget=_bwd_budget(hd, N),
+                          cap=8, requested=group, fallback_min=True)
 
     if packed is None:
         packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
+    elif packed and ((2 * hd) % 128 != 0 or group % 2):
+        raise ValueError(
+            f"packed=True needs pair-packable heads (2*head_dim divisible "
+            f"by 128) and an even group; got head_dim={hd}, group={group}")
     if packed:
         kernel = functools.partial(_attn_bwd_kernel_packed,
                                    pairs=group // 2, head_dim=hd,
@@ -816,8 +833,3 @@ def _einsum_bwd_bias(num_heads, bias, res, g, want_ds: bool = False):
 
 
 fused_attention_ad.defvjp(_fa_fwd, _fa_bwd)
-
-
-def attention_available() -> bool:
-    """Fused kernel usable on the current default backend."""
-    return jax.default_backend() == "tpu"

@@ -12,10 +12,14 @@ from missm_tpu.kernels.flash_attention import (
 )
 
 
-@pytest.mark.parametrize("n,heads,group", [(8, 2, 1), (17, 4, 2),
-                                           (257, 8, 4)])
-def test_kernel_matches_reference(rng, n, heads, group):
-    D = heads * 64
+@pytest.mark.parametrize("n,heads,group,hd", [
+    (8, 2, 2, 64), (17, 4, 2, 64), (257, 8, 4, 64),
+    # UNPACKED kernel (_attn_kernel) coverage: an odd group == num_heads
+    # (lane-valid via the g == H escape) and an hd=128 model (pair
+    # packing impossible) both bypass the packed path.
+    (17, 3, 3, 64), (33, 2, 2, 128)])
+def test_kernel_matches_reference(rng, n, heads, group, hd):
+    D = heads * hd
     q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
@@ -23,6 +27,28 @@ def test_kernel_matches_reference(rng, n, heads, group):
     ref = _einsum_reference(q, k, v, heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_explicit_group_is_validated_not_substituted(rng):
+    """A requested head group that is not a lane-valid divisor (or would
+    drop heads under packing) must raise — silent substitution mislabels
+    probe data, and an unvalidated pass-through returns uninitialized
+    output columns for the dropped heads."""
+    D = 4 * 64
+    q = jnp.asarray(rng.standard_normal((2, 16, D)).astype(np.float32))
+    with pytest.raises(ValueError):
+        fused_attention(q, q, q, 4, group=1, interpret=True)  # 64 lanes
+    with pytest.raises(ValueError):
+        fused_attention(q, q, q, 4, group=3, interpret=True)  # non-divisor
+    with pytest.raises(ValueError):  # packed needs an even group
+        fused_attention(jnp.asarray(
+            rng.standard_normal((2, 16, 3 * 64)).astype(np.float32)),
+            q[:, :, :192], q[:, :, :192], 3, group=3, packed=True,
+            interpret=True)
+    with pytest.raises(ValueError):
+        fused_attention_bwd(q, q, q, q, 4, group=1, interpret=True)
+    with pytest.raises(ValueError):
+        fused_attention_bwd(q, q, q, q, 4, group=3, interpret=True)
 
 
 @pytest.mark.parametrize("n,heads,group,block_diag", [
@@ -133,15 +159,18 @@ def test_causal_kernel_matches_dense_bias_einsum(rng, n, heads, with_pad):
     np.testing.assert_allclose(got_np, ref_np, atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n,heads,group,block_diag", [
-    (16, 2, 1, 0), (257, 8, 4, 0), (128, 4, 2, 8),
+@pytest.mark.parametrize("n,heads,group,block_diag,hd", [
+    (257, 8, 4, 0, 64), (128, 4, 2, 8, 64),
     # even groups -> the head-pair-packed backward
-    (16, 2, 2, 0), (257, 16, 8, 0), (128, 4, 4, 8)])
+    (16, 2, 2, 0, 64), (257, 16, 8, 0, 64), (128, 4, 4, 8, 64),
+    # UNPACKED backward (_attn_bwd_kernel): odd group == num_heads, and
+    # an hd=128 model where pair packing is impossible
+    (17, 3, 3, 0, 64), (33, 2, 2, 0, 128)])
 def test_fused_bwd_kernel_matches_einsum_grads(rng, n, heads, group,
-                                               block_diag):
+                                               block_diag, hd):
     """The Pallas backward (scores recomputed in VMEM) == autodiff of the
     einsum formulation, incl. the packed block-diagonal mode."""
-    D = heads * 64
+    D = heads * hd
     q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
