@@ -70,11 +70,21 @@ class BatchLoader:
     def _shard_indices(self) -> np.ndarray:
         order = epoch_order(len(self.dataset), self.shuffle, self.seed,
                             self.epoch)
-        per_shard = math.ceil(len(order) / self.num_shards)
+        n = len(order)
+        per_shard = math.ceil(n / self.num_shards)
         total = per_shard * self.num_shards
-        if total > len(order):  # wrap-around padding (DistributedSampler)
-            order = np.concatenate([order, order[: total - len(order)]])
-        return order[self.shard_index::self.num_shards]
+        if total > n:  # wrap-around padding (DistributedSampler)
+            order = np.concatenate([order, order[: total - n]])
+        idx = order[self.shard_index::self.num_shards]
+        # wrap duplicates occupy positions n..total-1 of the strided
+        # order, i.e. the TAIL of each affected shard. Record how many
+        # of this shard's rows are real so eval can exclude the
+        # duplicates from metrics (the reference's DistributedSampler
+        # counts them — a documented defect we fix, docs/PARITY.md).
+        self.shard_real_count = len(idx) - sum(
+            1 for p in range(n, total)
+            if p % self.num_shards == self.shard_index)
+        return idx
 
     def _collate(self, items):
         raws, labels, codes = zip(*items)

@@ -22,7 +22,11 @@ class Predictor:
                  tokenizer=None,
                  media_loaders: Optional[Dict[str, Callable]] = None,
                  device_put: Callable = lambda x: x):
-        self.params = params
+        # commit params to device ONCE: from_checkpoint restores a host
+        # numpy tree, and numpy jit arguments re-upload on every call —
+        # for the ViT-L towers over the 13-124 MB/s axon tunnel that is
+        # tens of seconds of H2D per predict() otherwise.
+        self.params = jax.device_put(params)
         self.cfg = cfg
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -59,22 +63,25 @@ class Predictor:
     def predict_arrays(self, data: Mapping, missing_index=None):
         """data: {modality: batched array}; returns (preds, probs) numpy,
         truncated to the true batch length."""
+        from .sweep import _pad_batch
+
         n = len(next(iter(
             v["input_ids"] if isinstance(v, Mapping) else v
             for v in data.values())))
         target = self.batch_size
+        if n > target:
+            raise ValueError(
+                f"predict_arrays got a batch of {n} rows but the compiled "
+                f"batch_size is {target}; use predict() (which chunks) or "
+                f"construct the Predictor with a larger batch_size")
 
-        def pad(x):
-            if x.shape[0] == target:
-                return x
-            reps = np.repeat(np.asarray(x)[-1:], target - x.shape[0], axis=0)
-            return np.concatenate([np.asarray(x), reps], axis=0)
-
-        data = jax.tree_util.tree_map(pad, dict(data))
+        data = _pad_batch({k: np.asarray(v) if not isinstance(v, Mapping)
+                           else v for k, v in data.items()}, target)
         if missing_index is None:
             missing_index = np.zeros((target,), np.int32)
         else:
-            missing_index = pad(np.asarray(missing_index, np.int32))
+            missing_index = _pad_batch(np.asarray(missing_index, np.int32),
+                                       target)
         out = self._predict(self.params, self.device_put(data),
                             jnp.asarray(missing_index))
         return (np.asarray(out["preds"])[:n], np.asarray(out["probs"])[:n])

@@ -45,14 +45,24 @@ def evaluate_loader(params, eval_step, loader, *, batch_size=None,
     target = batch_size or loader.batch_size
 
     def prepared():
+        row = 0
         for data, labels, missing in loader:
-            n = len(labels)
+            b = len(labels)
+            # rows past the shard's real count are DistributedSampler-
+            # style wrap-around duplicates (loaders.py:_shard_indices,
+            # always at the shard tail): exclude them from the loss AND
+            # the gathered preds/labels, so metrics cover exactly the
+            # dataset — the reference gathers the duplicates
+            # (train_ddp.py:64-67), a documented defect we fix.
+            real = getattr(loader, "shard_real_count", None)
+            n = b if real is None else max(0, min(b, real - row))
+            row += b
             data, labels_p, missing_p = _pad_batch((data, labels, missing),
                                                    target)
             # mask built host-side and passed as a traced array — one jit
             # signature for every partial-batch size
             valid = jnp.asarray(np.arange(target) < n)
-            yield (n, labels, device_put(data), jnp.asarray(labels_p),
+            yield (n, labels[:n], device_put(data), jnp.asarray(labels_p),
                    jnp.asarray(missing_p), valid)
 
     multihost = jax.process_count() > 1
@@ -85,6 +95,10 @@ def evaluate_loader(params, eval_step, loader, *, batch_size=None,
             all_preds.append(np.asarray(out["preds"])[:n])
             all_probs.append(np.asarray(out["probs"])[:n])
             all_labels.append(labels)
+    if not all_labels:
+        raise ValueError(
+            "evaluate_loader: loader produced no batches (empty split, or "
+            "a shard with zero samples) — nothing to evaluate")
     labels = np.concatenate(all_labels)
     preds = np.concatenate(all_preds)
     probs = np.concatenate(all_probs)
@@ -106,15 +120,21 @@ def statistics_pass(params, cfg: ModelConfig, train_loader, stat_type: str,
     (test.py:98-115 + calculate_statistics:54-61)."""
     mods = cfg.fusion.modality_types
     buf = {m: [] for m in mods}
+    target = train_loader.batch_size
 
     @jax.jit
     def embed(p, data):
         return embed_only(p, cfg, data)
 
     for data, _, _ in train_loader:
-        out = embed(params, device_put(data))
+        # pad the final partial batch to the one static shape (rows
+        # sliced back off below) — an odd-shaped last batch would trace
+        # and compile the ViT encoder a SECOND time (1-4 min through the
+        # axon tunnel)
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        out = embed(params, device_put(_pad_batch(data, target)))
         for m in mods:
-            buf[m].append(np.asarray(out[m]))
+            buf[m].append(np.asarray(out[m])[:n])
     agg = np.mean if stat_type == "mean" else np.median
     return {m: agg(np.concatenate(buf[m], axis=0), axis=0) for m in mods}
 

@@ -30,7 +30,12 @@ def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, jax.tree_util.tree_map(np.asarray, tree), force=True)
-    if metadata is not None:
+    # the orbax save is collective (every process calls it; the primary
+    # host writes), but this JSON write is a plain file op — only the
+    # primary writes it, or concurrent hosts could interleave/truncate
+    # it on a shared filesystem (reference: rank-0-only torch.save,
+    # train_ddp.py:300-306).
+    if metadata is not None and jax.process_index() == 0:
         with open(os.path.join(path, "missm_meta.json"), "w") as f:
             json.dump(metadata, f, default=str)
 

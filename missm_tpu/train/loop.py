@@ -30,14 +30,24 @@ def _prepared_batches(loader, batch_size, device_put):
     """Two-stage input pipeline: one thread decodes/collates/pads, a second
     performs the host->device transfer — so tunnel upload time overlaps
     decode+transform time instead of adding to it (each stage is
-    double-buffered; upload of batch k runs while batch k+1 decodes)."""
+    double-buffered; upload of batch k runs while batch k+1 decodes).
+
+    Each batch carries a boolean `valid` row mask: padding repeats the
+    last real row to keep one static jit shape, and the train step masks
+    those rows out of the loss (the reference trains the short final
+    batch unpadded — an unmasked mean would hand the repeated row most
+    of that step's gradient, for the SAME sample every epoch since the
+    epoch order is a fixed permutation)."""
     def gen():
         for data, labels, missing in loader:
-            yield _pad_batch((data, labels, missing), batch_size)
+            n = len(labels)
+            padded = _pad_batch((data, labels, missing), batch_size)
+            yield padded + (np.arange(batch_size) < n,)
 
     def put(batch):
-        data, labels, missing = batch
-        return (device_put(data), jnp.asarray(labels), jnp.asarray(missing))
+        data, labels, missing, valid = batch
+        return (device_put(data), jnp.asarray(labels), jnp.asarray(missing),
+                jnp.asarray(valid))
 
     return prefetch(prefetch(gen(), depth=2), depth=2, transfer=put)
 
@@ -83,13 +93,14 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
         input_s = 0.0
         step_s = 0.0
         t_in = time.perf_counter()
-        for data, labels, missing in _prepared_batches(
+        for data, labels, missing, valid in _prepared_batches(
                 train_loader, batch_size, device_put):
             t_now = time.perf_counter()
             input_s += t_now - t_in
             rng, sub = jax.random.split(rng)
             lr = learning_rate * plateau.scale
-            state, m = step_fn(state, data, labels, missing, lr, sub)
+            state, m = step_fn(state, data, labels, missing, lr, sub,
+                               valid=valid)
             loss_acc = m["loss"] if loss_acc is None else loss_acc + m["loss"]
             n_batches += 1
             if n_batches in (2, 3):
@@ -182,13 +193,21 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             log(f"Early stopping after {epoch + 1} epochs.")
             break
 
-    log(f"Loading best model from epoch {best_epoch}")
+    restored = bool(save_dir) and best_epoch >= 0
+    log(f"Loading best model from epoch {best_epoch}" if save_dir
+        else "Keeping final-epoch params (no save_dir to restore best from)")
     best_params = state.params
-    if save_dir and best_epoch >= 0:
+    if restored:
         tree, _ = restore_checkpoint(os.path.join(save_dir, "best_model"))
         best_params = tree["params"]
     if final_path:
-        save_checkpoint(final_path, {"params": best_params},
-                        metadata={"best_epoch": best_epoch,
-                                  "val_accuracy": best_metric})
+        # metadata must describe the params actually saved: without a
+        # save_dir the best epoch was never checkpointed, so the final
+        # artifact holds LAST-epoch params (early stopping guarantees
+        # those are `patience` epochs worse than best).
+        meta = ({"best_epoch": best_epoch, "val_accuracy": best_metric}
+                if restored else
+                {"best_epoch": None, "params_from": "final_epoch",
+                 "best_val_accuracy_seen": best_metric})
+        save_checkpoint(final_path, {"params": best_params}, metadata=meta)
     return best_params, history

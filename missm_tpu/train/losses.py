@@ -39,6 +39,14 @@ def mse_loss(a, b):
     return jnp.mean(jnp.square(a - jax.lax.stop_gradient(b)))
 
 
+def masked_mse_loss(a, b, mask):
+    """nn.MSELoss mean over only the rows where `mask` is True (static
+    shapes: per-row sum, masked sum / (count * row_width))."""
+    sq = jnp.square(a - jax.lax.stop_gradient(b)).sum(axis=1)
+    count = jnp.maximum(mask.sum(), 1)
+    return jnp.where(mask, sq, 0.0).sum() / (count * a.shape[1])
+
+
 def masked_kl_distill(student, teacher, mask, temperature: float = 0.15):
     """KL over only the rows where `mask` is True, batchmean over the
     selected rows (the reference indexes tensors with the boolean mask,

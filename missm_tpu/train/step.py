@@ -26,7 +26,7 @@ import optax
 
 from ..models.finetune import ModelConfig, model_forward
 from .losses import (cross_entropy, kl_distill_loss, masked_kl_distill,
-                     mse_loss, per_sample_cross_entropy)
+                     masked_mse_loss, mse_loss, per_sample_cross_entropy)
 from .trainability import TRAIN, param_labels
 
 
@@ -85,13 +85,25 @@ def init_train_state(params, cfg: ModelConfig, *, weight_decay: float = 0.0,
 
 
 def compute_loss(params, teacher_fusion, cfg: ModelConfig, data, labels,
-                 missing_index, rng):
+                 missing_index, rng, valid=None):
     """Returns (loss, logits). Encodes the fusion-type-specific losses of
-    train_ddp.py:232-250."""
+    train_ddp.py:232-250.
+
+    `valid` is an optional boolean [B] row mask: rows the static-shape
+    batcher padded in (repeats of the last real row) are excluded from
+    every loss term, so the short final batch trains on exactly its real
+    rows — the reference trains the short batch unpadded, and an
+    unmasked mean would hand the repeated row most of that step's
+    gradient."""
     ft = cfg.fusion.fusion_type
     logits, aux = model_forward(params, cfg, data, missing_index, train=True,
                                 rng=rng)
-    ce = cross_entropy(logits, labels)
+    if valid is None:
+        ce = cross_entropy(logits, labels)
+    else:
+        nll = per_sample_cross_entropy(logits, labels)
+        w = valid.astype(nll.dtype)
+        ce = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
 
     if ft in ("MTD_stu", "KL_stu"):
         tea_params = {"encoder": params["encoder"], "fusion": teacher_fusion}
@@ -99,8 +111,13 @@ def compute_loss(params, teacher_fusion, cfg: ModelConfig, data, labels,
             jax.lax.stop_gradient(tea_params), cfg, data,
             jnp.zeros_like(missing_index), train=False)
         rep_s, rep_t = aux["features"], tea_aux["features"]
-        dl = mse_loss(rep_s, rep_t) if ft == "MTD_stu" else kl_distill_loss(
-            rep_s, rep_t)
+        if valid is None:
+            dl = (mse_loss(rep_s, rep_t) if ft == "MTD_stu"
+                  else kl_distill_loss(rep_s, rep_t))
+        else:
+            dl = (masked_mse_loss(rep_s, rep_t, valid) if ft == "MTD_stu"
+                  else masked_kl_distill(rep_s, rep_t, valid,
+                                         temperature=0.15))
         return dl + ce, logits
 
     if ft == "self_distill":
@@ -110,7 +127,9 @@ def compute_loss(params, teacher_fusion, cfg: ModelConfig, data, labels,
         M = present.shape[1]
         dl = 0.0
         for i in range(M):
-            dl = dl + masked_kl_distill(stu[:, i], tea, present[:, i])
+            mask = (present[:, i] if valid is None
+                    else jnp.logical_and(present[:, i], valid))
+            dl = dl + masked_kl_distill(stu[:, i], tea, mask)
         return 0.01 * dl / M + ce, logits
 
     return ce, logits
@@ -133,18 +152,19 @@ def make_train_step(cfg: ModelConfig, tx, accum_steps: int = 1):
 
     ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
 
-    def step_fn(state: TrainState, data, labels, missing_index, lr, rng):
+    def step_fn(state: TrainState, data, labels, missing_index, lr, rng,
+                valid=None):
         treedef, trainable, frozen = partition_trainable(state.params, cfg)
 
-        def loss_fn(trainable, data, labels, missing_index, rng):
+        def loss_fn(trainable, data, labels, missing_index, rng, valid):
             params = combine_params(treedef, trainable, frozen)
             return compute_loss(params, state.teacher_fusion, cfg, data,
-                                labels, missing_index, rng)
+                                labels, missing_index, rng, valid=valid)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if accum_steps == 1:
             (loss, logits), grads = grad_fn(trainable, data, labels,
-                                            missing_index, rng)
+                                            missing_index, rng, valid)
         else:
             A = accum_steps
             assert labels.shape[0] % A == 0, (
@@ -154,9 +174,11 @@ def make_train_step(cfg: ModelConfig, tx, accum_steps: int = 1):
             def split(x):
                 return x.reshape((A, x.shape[0] // A) + x.shape[1:])
 
+            if valid is None:
+                valid = jnp.ones(labels.shape[0], bool)
             micro = (jax.tree_util.tree_map(split, dict(data)),
                      split(labels), split(missing_index),
-                     jax.random.split(rng, A))
+                     jax.random.split(rng, A), split(valid))
             zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
             def body(carry, xs):

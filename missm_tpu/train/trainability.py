@@ -32,9 +32,6 @@ def param_labels(params, cfg: ModelConfig):
             continue
         blocks = params["encoder"][mod]["vision"]["blocks"]
 
-        def block_label(path_leaf):
-            return None  # placeholder, see below
-
         def label_blocks(tree):
             # freeze everything except lora_a / lora_b leaves
             def walk(sub):

@@ -240,3 +240,51 @@ def test_two_process_train_parity(tmp_path):
     assert any(f.startswith("events") for f in os.listdir(
         tmp_path / "tb_rank0"))
     assert not os.path.exists(tmp_path / "tb_rank1")
+
+
+def test_shard_wrap_duplicates_excluded_from_eval():
+    """DistributedSampler-style wrap-around rows (odd dataset size over
+    num_shards) are marked by BatchLoader.shard_real_count and excluded
+    from evaluate_loader's labels/preds — metrics cover exactly the
+    dataset, unlike the reference's gather (train_ddp.py:64-67)."""
+    from missm_tpu.data.loaders import BatchLoader
+
+    class _Spec:
+        modalities = ("image",)
+
+    class _DS:
+        spec = _Spec()
+
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return ({"image": np.full((3, 8, 8), i, np.float32)},
+                    i % 3, 0)
+
+    n = 5
+    loaders = [BatchLoader(_DS(n), 2, None, {"image": np.asarray},
+                           shuffle=False, num_shards=2, shard_index=s)
+               for s in range(2)]
+    seen = []
+    for ld in loaders:
+        rows = sum(len(lb) for _, lb, _ in ld)
+        # per_shard = 3, total = 6 -> one wrap row on shard 1
+        assert rows == 3
+        seen.append(ld.shard_real_count)
+    assert sorted(seen) == [2, 3]  # 5 real rows total, 1 wrap excluded
+
+    # evaluate_loader drops the wrap row from labels/preds
+    cfg, params, data, labels, missing = _tiny_setup(n=6, seed=1)
+    ev = make_eval_step(cfg)
+
+    class _ShardLoader(ListLoader):
+        shard_real_count = 5  # pretend the 6th row is a wrap duplicate
+
+    ld = _ShardLoader(data, labels, missing, batch_size=4)
+    _, out_labels, preds, probs = evaluate_loader(params, ev, ld)
+    assert len(out_labels) == len(preds) == len(probs) == 5
+    np.testing.assert_array_equal(out_labels, labels[:5])

@@ -53,3 +53,14 @@ def test_predict_raw_samples():
     preds2, probs2 = pred.predict(samples)
     np.testing.assert_array_equal(preds, preds2)
     np.testing.assert_allclose(probs, probs2, atol=0)
+
+
+def test_predict_arrays_rejects_oversized_batch():
+    """A batch larger than the compiled batch_size must raise a clear
+    error (negative-pad np.repeat used to fail deep inside padding)."""
+    cfg, params = _setup()
+    p = Predictor(params, cfg, batch_size=2)
+    data = {"image": np.zeros((5, 3, 32, 32), np.float32),
+            "language": np.ones((5, 16), np.int32)}
+    with pytest.raises(ValueError, match="compiled batch_size"):
+        p.predict_arrays(data)

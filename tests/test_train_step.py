@@ -366,3 +366,36 @@ def test_grad_accum_arg_validation():
     with pytest.raises(SystemExit):
         train_args(base + ["--grad_accum", "4"])  # 6 % 4
     assert train_args(base + ["--grad_accum", "3"]).grad_accum == 3
+
+
+def test_train_step_valid_mask_matches_unpadded_short_batch():
+    """A padded batch with `valid` masking the repeats must produce the
+    SAME loss and updated params as training on the short batch alone —
+    the reference trains the final partial batch unpadded; an unmasked
+    mean would hand the repeated row most of the gradient."""
+    cfg = tiny_model_cfg("sum")
+    data, labels, missing = tiny_batch()
+    n_real = B - 3
+    short = ({k: v[:n_real] for k, v in data.items()},
+             labels[:n_real], missing[:n_real])
+    # pad by repeating the last real row (what _pad_batch does)
+    pad = lambda x: jnp.concatenate(
+        [x[:n_real]] + [x[n_real - 1:n_real]] * (B - n_real), axis=0)
+    padded = ({k: pad(v) for k, v in data.items()},
+              pad(labels), pad(missing))
+    valid = jnp.arange(B) < n_real
+    rng = jax.random.PRNGKey(5)
+
+    results = []
+    for args in [(short, None), (padded, valid)]:
+        (d, lb, mi), v = args
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        state, tx = init_train_state(params, cfg)
+        step = make_train_step(cfg, tx)
+        state, m = step(state, d, lb, mi, 1e-2, rng, valid=v)
+        w = state.params["encoder"]["image"]["vision"]["blocks"]["attn"]
+        results.append((float(m["loss"]),
+                        np.asarray(w["q"]["w"]).copy()))
+    (loss_s, w_s), (loss_p, w_p) = results
+    assert loss_s == pytest.approx(loss_p, rel=1e-6)
+    np.testing.assert_allclose(w_s, w_p, atol=1e-6, rtol=1e-5)
