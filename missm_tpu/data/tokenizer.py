@@ -121,6 +121,16 @@ class ClipBpeTokenizer:
         return out
 
     def tokenize(self, text: str) -> List[str]:
+        # HF CLIPTokenizer's basic_clean is ftfy.fix_text + the double
+        # html.unescape; ftfy is not installable in this environment, so
+        # mojibake-damaged text (e.g. 'Ã©' that ftfy repairs to 'é')
+        # tokenizes differently than the reference pipeline. Try it if
+        # present; otherwise the caveat is documented in PARITY.md.
+        try:
+            import ftfy
+            text = ftfy.fix_text(text)
+        except ImportError:
+            pass
         text = whitespace_clean(html.unescape(html.unescape(text))).lower()
         toks: List[str] = []
         for token in re.findall(self.pat, text):

@@ -254,12 +254,21 @@ def _fwd_intra_attention(p, cfg, embeds, missing_index, train, rng):
                        rng), {}
 
 
-def init_inter_attention(key, cfg, num_heads: int = 4):
+# the reference hardcodes nn.MultiheadAttention(fusion_dim, 4)
+# (baseline.py:207-236); a static constant, NOT a params leaf — an int
+# leaf in the pytree breaks jax.grad (int32 input) and turns reshape
+# dims into tracers under jit.
+INTER_ATTN_HEADS = 4
+
+
+def init_inter_attention(key, cfg):
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     d = cfg.fusion_dim
-    # torch nn.MultiheadAttention init: in_proj xavier_uniform, out_proj
-    # torch-linear default, biases zero.
-    limit = math.sqrt(6.0 / (d + d))
+    # torch nn.MultiheadAttention init: xavier_uniform over the PACKED
+    # (3d, d) in_proj -> limit sqrt(6/(3d+d)) for each of q/k/v (verified
+    # vs torch: in_proj |max| 0.07655 == sqrt(6/4d) at d=256); out_proj
+    # is torch-linear default with zero bias.
+    limit = math.sqrt(6.0 / (3 * d + d))
     def xavier(k):
         return {"w": jax.random.uniform(k, (d, d), jnp.float32, -limit,
                                         limit),
@@ -271,7 +280,6 @@ def init_inter_attention(key, cfg, num_heads: int = 4):
         "query_token": jax.random.normal(k3, (1, 1, d)),
         "attn": {"q": xavier(k4), "k": xavier(k5), "v": xavier(k6),
                  "out": dict(_torch_linear(k7, d, d), b=jnp.zeros((d,)))},
-        "num_heads": num_heads,
     }
 
 
@@ -282,7 +290,7 @@ def _fwd_inter_attention(p, cfg, embeds, missing_index, train, rng):
     tokens = jnp.stack([linear(p["proj"][m], embeds[m])
                         for m in cfg.modality_types], axis=1)  # [B, M, D]
     B, M, D = tokens.shape
-    H = p["num_heads"]
+    H = INTER_ATTN_HEADS
     hd = D // H
     q = linear(p["attn"]["q"], jnp.broadcast_to(p["query_token"], (B, 1, D)))
     k = linear(p["attn"]["k"], tokens)

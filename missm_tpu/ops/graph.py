@@ -31,7 +31,9 @@ def init_supergat(key, in_dim: int, out_dim: int, heads: int,
     """Glorot for W (PyG default), glorot for att vectors, zero bias."""
     k1, k2, k3 = jax.random.split(key, 3)
     limit_w = (6.0 / (in_dim + heads * out_dim)) ** 0.5
-    limit_a = (6.0 / (1 + out_dim)) ** 0.5
+    # PyG glorot on the (1, heads, out_channels) att tensors uses
+    # fan_in = size(-2) = heads, fan_out = out_channels
+    limit_a = (6.0 / (heads + out_dim)) ** 0.5
     return {
         "w": jax.random.uniform(k1, (in_dim, heads * out_dim), dtype,
                                 -limit_w, limit_w),
@@ -109,12 +111,15 @@ def init_fusion_gcn(key, in_dim=256, hidden=128, out_dim=256, heads=4,
         "gat1": init_supergat_layer(k1, in_dim, hidden, heads, True, dtype),
         "gat2": init_supergat_layer(k2, hidden * heads, out_dim, 1, False,
                                     dtype),
-        "heads": heads,
     }
 
 
 def fusion_gcn_forward(params, x, adj):
-    h = supergat_dense(params["gat1"], x, adj, heads=params["heads"],
+    # heads recovered from the att tensor's STATIC shape — an int leaf in
+    # the params pytree would break jax.grad (int32 input) and make the
+    # supergat reshape dims tracers under jit
+    heads = params["gat1"]["att_l"].shape[0]
+    h = supergat_dense(params["gat1"], x, adj, heads=heads,
                        concat=True)
     h = jax.nn.gelu(h, approximate=False)  # torch nn.GELU default is exact
     return supergat_dense(params["gat2"], h, adj, heads=1, concat=False)

@@ -101,11 +101,15 @@ def resize2d(img, out_hw, method: str = "bicubic", antialias: bool = True,
 
 
 def short_side_resize_shape(h: int, w: int, size: int):
-    """Target (H', W') scaling the short side to `size`, aspect preserved
-    (torchvision Resize(int) / pytorchvideo ShortSideScale semantics)."""
+    """Target (H', W') scaling the short side to `size`, aspect preserved.
+
+    The long side TRUNCATES: torchvision Resize(int) computes
+    `int(size * long / short)` and pytorchvideo ShortSideScale floors —
+    e.g. 240x320 -> (224, 298), not round()'s 299 (which would also
+    shift the center-crop offset by one)."""
     if h <= w:
-        return size, max(1, int(round(w * size / h)))
-    return max(1, int(round(h * size / w))), size
+        return size, max(1, int(w * size / h))
+    return max(1, int(h * size / w)), size
 
 
 def center_crop(img, size: int):

@@ -125,3 +125,24 @@ def test_resize_matrix_rows_sum_to_one():
     np.testing.assert_allclose(m.sum(1), np.ones(224), atol=1e-6)
     m2 = resize_matrix(100, 224, "bilinear", False)
     np.testing.assert_allclose(m2.sum(1), np.ones(224), atol=1e-6)
+
+
+def test_short_side_resize_shape_truncates_long_side():
+    """torchvision Resize(int) computes int(size*long/short) (truncation)
+    and pytorchvideo ShortSideScale floors — NOT round(). Independent
+    arithmetic pin (the parity tests above build their torch reference
+    through the same helper, so they cannot catch a rounding drift):
+    240x320 at size 224 -> 224*320/240 = 298.67 -> 298."""
+    from missm_tpu.ops.resize import short_side_resize_shape
+
+    assert short_side_resize_shape(240, 320, 224) == (224, 298)
+    assert short_side_resize_shape(320, 240, 224) == (298, 224)
+    assert short_side_resize_shape(224, 224, 224) == (224, 224)
+    # torchvision reference, when available, must agree
+    try:
+        from torchvision.transforms.functional import resize
+        import torch
+        img = torch.zeros(3, 240, 320)
+        assert tuple(resize(img, 224, antialias=True).shape[-2:]) == (224, 298)
+    except ImportError:
+        pass

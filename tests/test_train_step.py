@@ -399,3 +399,34 @@ def test_train_step_valid_mask_matches_unpadded_short_batch():
     (loss_s, w_s), (loss_p, w_p) = results
     assert loss_s == pytest.approx(loss_p, rel=1e-6)
     np.testing.assert_allclose(w_s, w_p, atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("ftype", [
+    "concat", "regression", "intra_attention", "inter_attention",
+    "graph_fusion", "unified_graph", "dedicated_dnn",
+    "Distill_tea", "MTD_stu", "KL_stu", "self_distill"])
+def test_all_fusion_heads_train_and_eval_jitted(ftype):
+    """EVERY fusion head must run through the PRODUCTION jitted train and
+    eval steps — not just an eager forward. (inter_attention and the two
+    graph heads used to carry a Python-int leaf in their params pytree:
+    jax.grad rejected the int32 input and jit turned reshape dims into
+    tracers, so they could neither train nor eval through the CLI paths
+    while the eager-only tests stayed green.)"""
+    from missm_tpu.train.step import make_eval_step
+
+    cfg = tiny_model_cfg(ftype)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    # teacher must be distinct buffers (the CLI restores it from a
+    # checkpoint) — aliasing the student's arrays inside the donated
+    # state is a double-donation error
+    teacher = (jax.tree_util.tree_map(jnp.copy, params["fusion"])
+               if ftype in ("MTD_stu", "KL_stu") else None)
+    state, tx = init_train_state(params, cfg, teacher_fusion=teacher)
+    data, labels, missing = tiny_batch()
+    step = make_train_step(cfg, tx)
+    state, m = step(state, data, labels, missing, 1e-3, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+    out = make_eval_step(cfg)(state.params, data, labels, missing)
+    assert np.isfinite(float(out["loss"]))
+    assert out["preds"].shape == (B,)
