@@ -72,7 +72,8 @@ def main(argv=None):
                   "fusion": params["fusion"]}
         teacher_fusion = tree["params"]["fusion"]
 
-    params = partition_params(params, mesh, tp=args.mesh_model > 1)
+    params = partition_params(params, mesh, tp=args.mesh_model > 1,
+                              fsdp=getattr(args, "fsdp", False))
     device_put = make_device_put(mesh, cast_bf16=args.bf16)
 
     writer = None

@@ -6,6 +6,8 @@ unchanged), plus a small set of TPU-native extras that default to the
 reference behavior:
   --mesh_model       tensor-parallel axis size (1 = pure DP, the reference's
                      only mode)
+  --fsdp             ZeRO-3-style sharding of params + optimizer state over
+                     the data axis (memory; math identical to DP)
   --model_scale      'large' (LanguageBind ViT-L) | 'tiny' (tests/smoke)
   --init             'checkpoint' | 'random' (no-network smoke runs)
   --vocab_file/--merges_file   CLIP BPE files
@@ -75,6 +77,9 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--config", type=str, default=None,
                    help="YAML config file (flags override file values)")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + Adam moments over the data axis "
+                        "(ZeRO-3 via GSPMD); pure memory lever, math == DP")
     p.add_argument("--model_scale", type=str, default="large",
                    choices=["large", "tiny"])
     p.add_argument("--init", type=str, default="checkpoint",

@@ -11,6 +11,17 @@ following out/fc2 row-wise, so each attention+MLP pair needs exactly one
 all-reduce of activations — the Megatron layout expressed through GSPMD
 sharding constraints rather than explicit collectives. Block params are
 stacked [L, ...], so specs lead with None for the layer axis.
+
+FSDP (also a TPU-native extra; ZeRO-3 equivalent) shards every large param
+leaf — and, because optimizer moments are zeros_like the sharded leaves,
+the Adam state with it — over the `data` axis. XLA all-gathers a weight
+just before its matmul and reduce-scatters its gradient, so per-device
+memory for params + moments drops ~n_data× while the math stays exactly
+DP. Leaves smaller than `fsdp_min_size` elements stay replicated (the
+gather latency would dominate); for the [L, ...]-stacked block leaves the
+leading scan axis is never sharded (lax.scan slices it every layer).
+Composes with TP: the TP-sharded axis is excluded, the largest remaining
+divisible axis is used.
 """
 from __future__ import annotations
 
@@ -58,16 +69,55 @@ def _tp_spec(path, leaf) -> P:
     return P()
 
 
-def param_pspecs(params, tp: bool = False):
-    if not tp:
-        return jax.tree_util.tree_map(lambda _: P(), params)
-    return jax.tree_util.tree_map_with_path(_tp_spec, params)
+FSDP_MIN_SIZE = 65536  # leaves below this (elements) stay replicated
 
 
-def partition_params(params, mesh: Mesh, tp: bool = False):
+def _fsdp_spec(path, leaf, base: P, n_data: int, min_size: int) -> P:
+    """Extend `base` (the TP spec, possibly empty) with a DATA_AXIS shard on
+    the largest still-unsharded axis divisible by n_data."""
+    if leaf.ndim == 0 or leaf.size < min_size:
+        return base
+    spec = list(base) + [None] * (leaf.ndim - len(base))
+    start = 1 if "blocks" in _path_names(path) else 0  # never the scan axis
+    best = None
+    for ax in range(start, leaf.ndim):
+        if spec[ax] is not None:
+            continue
+        if leaf.shape[ax] % n_data:
+            continue
+        if best is None or leaf.shape[ax] > leaf.shape[best]:
+            best = ax
+    if best is None:
+        return base
+    spec[best] = DATA_AXIS
+    return P(*spec)
+
+
+def param_pspecs(params, tp: bool = False, fsdp_size: int = 0,
+                 fsdp_min_size: int = FSDP_MIN_SIZE):
+    """Partition specs for the param tree. `tp` adds the Megatron col/row
+    specs over MODEL_AXIS; `fsdp_size` > 1 additionally shards large leaves
+    over DATA_AXIS (ZeRO-3)."""
+    if tp:
+        specs = jax.tree_util.tree_map_with_path(_tp_spec, params)
+    else:
+        specs = jax.tree_util.tree_map(lambda _: P(), params)
+    if fsdp_size and fsdp_size > 1:
+        specs = jax.tree_util.tree_map_with_path(
+            lambda p, leaf, s: _fsdp_spec(p, leaf, s, fsdp_size,
+                                          fsdp_min_size),
+            params, specs)
+    return specs
+
+
+def partition_params(params, mesh: Mesh, tp: bool = False,
+                     fsdp: bool = False,
+                     fsdp_min_size: int = FSDP_MIN_SIZE):
     """device_put the param tree with its partition specs; jit consumes the
     shardings from the arrays themselves."""
-    specs = param_pspecs(params, tp)
+    specs = param_pspecs(params, tp,
+                         fsdp_size=mesh.shape[DATA_AXIS] if fsdp else 0,
+                         fsdp_min_size=fsdp_min_size)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 

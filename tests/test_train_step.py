@@ -108,6 +108,75 @@ def test_tp_matches_dp_numerics():
     np.testing.assert_allclose(w_dp, w_tp, atol=1e-5, rtol=1e-4)
 
 
+def test_fsdp_matches_dp_numerics():
+    """FSDP (ZeRO-3 param/moment sharding over the data axis) must be a pure
+    layout change: same loss and params as pure DP, with the large leaves —
+    and the Adam moments built from them — actually sharded, and STILL
+    sharded after the step (the memory saving must survive the update)."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_model_cfg("sum")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = tiny_batch()
+
+    results = []
+    for fsdp in (False, True):
+        mesh = make_mesh()  # 8 x 1
+        params = partition_params(
+            jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh,
+            fsdp=fsdp, fsdp_min_size=128)
+        state, tx = init_train_state(params, cfg)
+        if fsdp:
+            # the fc1 kernel [L, 32, 64] shards its 64-axis over 8 devices
+            w = state.params["encoder"]["image"]["vision"]["blocks"]["mlp"][
+                "fc1"]["w"]
+            assert w.sharding.spec == P(None, None, "data"), w.sharding
+            shard = w.addressable_shards[0].data
+            assert shard.shape == (w.shape[0], w.shape[1], w.shape[2] // 8)
+            # Adam moments inherit the leaf sharding (zeros_like)
+            mu = [m for m in jax.tree_util.tree_leaves(state.opt_state)
+                  if hasattr(m, "sharding") and m.ndim == 3
+                  and m.shape == w.shape]
+            assert mu and all("data" in str(m.sharding.spec) for m in mu)
+        step = make_train_step(cfg, tx)
+        d = shard_batch(data, mesh)
+        for i in range(2):
+            state, m = step(state, d, labels, missing, 1e-2,
+                            jax.random.PRNGKey(i))
+        if fsdp:
+            w = state.params["encoder"]["image"]["vision"]["blocks"]["mlp"][
+                "fc1"]["w"]
+            assert "data" in str(w.sharding.spec), (
+                "FSDP sharding lost through the train step")
+        results.append((float(m["loss"]),
+                        np.asarray(state.params["fusion"]["proj"]["image"]["w"])))
+
+    (loss_dp, w_dp), (loss_fsdp, w_fsdp) = results
+    assert loss_dp == pytest.approx(loss_fsdp, rel=1e-5)
+    np.testing.assert_allclose(w_dp, w_fsdp, atol=1e-5, rtol=1e-4)
+
+
+def test_fsdp_composes_with_tp():
+    """4x2 mesh, Megatron-TP on the model axis + FSDP on the data axis: the
+    TP-sharded axis is excluded, a remaining divisible axis takes the data
+    shard, and a train step runs finite."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = partition_params(params, mesh, tp=True, fsdp=True,
+                              fsdp_min_size=128)
+    w = params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"]["w"]
+    assert w.sharding.spec == P(None, "data", "model"), w.sharding
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    data, labels, missing = tiny_batch()
+    data = shard_batch(data, mesh)
+    state, m = step(state, data, labels, missing, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_frozen_base_lora_trains():
     """peft semantics: vision block base weights frozen, LoRA + fusion +
     text + embeddings train."""
