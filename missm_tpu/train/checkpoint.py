@@ -24,12 +24,24 @@ def _ocp():
     return ocp
 
 
+def _host_value(x):
+    """Materialize a leaf on every host. Leaves sharded ACROSS processes
+    (FSDP params / Adam moments under jax.process_count() > 1) are not
+    np.asarray-able — all-gather them first so the saved artifact is the
+    full logical array, loadable by a single-process test.py run (the
+    reference's final_model contract, train_ddp.py:320-323)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
     """Save a pytree + metadata dict at `path` (a directory)."""
     ocp = _ocp()
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.tree_util.tree_map(np.asarray, tree), force=True)
+    ckptr.save(path, jax.tree_util.tree_map(_host_value, tree), force=True)
     # the orbax save is collective (every process calls it; the primary
     # host writes), but this JSON write is a plain file op — only the
     # primary writes it, or concurrent hosts could interleave/truncate

@@ -9,7 +9,14 @@ loop (checkpoint write + TensorBoard scalars, cli/train.py:79) and saves the
 final params for the parent to compare against its single-process ground
 truth.
 
-Usage: mp_train_worker.py <pid> <tmpdir> <port>
+In "fsdp" mode the params (and, via zeros_like, the Adam moments) are
+additionally sharded over the CROSS-PROCESS data axis — ZeRO-3 where each
+host owns half of every large leaf. The all-gather-before-use /
+reduce-scatter-of-grads then rides the process interconnect, and the
+collective checkpoint save must reassemble the full logical arrays
+(train/checkpoint.py::_host_value).
+
+Usage: mp_train_worker.py <pid> <tmpdir> <port> [dp|fsdp]
 """
 import os
 import sys
@@ -23,6 +30,7 @@ jax.config.update("jax_platforms", "cpu")
 PID = int(sys.argv[1])
 TMP = sys.argv[2]
 PORT = sys.argv[3]
+MODE = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
 jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
                            num_processes=2, process_id=PID)
@@ -44,8 +52,29 @@ assert mesh.shape["data"] == 2
 repl = NamedSharding(mesh, P())
 data_sh = NamedSharding(mesh, P("data"))
 
-state, tx = init_train_state(params, cfg)
-state = jax.device_put(state, repl)
+if MODE == "fsdp":
+    from missm_tpu.parallel.partitioning import param_pspecs
+
+    specs = param_pspecs(params, fsdp_size=2, fsdp_min_size=128)
+
+    def gput(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, s), lambda idx: arr[idx])
+
+    params = jax.tree_util.tree_map(gput, params, specs)
+    # each host must own HALF of the large leaves, not a copy
+    w = params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"]["w"]
+    shard = w.addressable_shards[0].data
+    assert shard.size == w.size // 2, (shard.shape, w.shape)
+    state, tx = init_train_state(params, cfg)
+    mu = [m for m in jax.tree_util.tree_leaves(state.opt_state)
+          if hasattr(m, "shape") and m.shape == w.shape]
+    assert mu and all(x.addressable_shards[0].data.size == x.size // 2
+                      for x in mu), "Adam moments not FSDP-sharded"
+else:
+    state, tx = init_train_state(params, cfg)
+    state = jax.device_put(state, repl)
 step = make_train_step(cfg, tx)
 
 
@@ -72,7 +101,9 @@ for i in range(K):
                     1e-3, jax.random.PRNGKey(100 + i))
     losses.append(float(m["loss"]))
 
-final = jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
+from missm_tpu.train.checkpoint import _host_value
+
+final = jax.tree_util.tree_map(_host_value, state.params)
 
 # Checkpoint save is COLLECTIVE (as in train_loop): every process calls it;
 # Orbax writes from the primary host only — the TPU-native equivalent of

@@ -166,14 +166,22 @@ def test_two_process_eval_gather(tmp_path):
 _TRAIN_WORKER = os.path.join(os.path.dirname(__file__), "mp_train_worker.py")
 
 
-def test_two_process_train_parity(tmp_path):
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_train_parity(tmp_path, mode):
     """The last untested reference behavior (VERDICT r2 missing #1): the
     multi-process gradient all-reduce (train_ddp.py:145 process-group init,
     :189 DDP grad hooks). Two jax.distributed CPU processes run K DP train
     steps over a global 2-device mesh, each feeding its half of the batch
     stream; the final params must match a single-process run over the
     union (same init, same per-step keys). Also pins rank-0-only
-    checkpoint + TensorBoard writes."""
+    checkpoint + TensorBoard writes.
+
+    mode="fsdp" repeats the run with params + Adam moments sharded over
+    the CROSS-PROCESS data axis (ZeRO-3, each host owning half of every
+    large leaf): the weight all-gathers / gradient reduce-scatters ride
+    the process interconnect, the collective checkpoint save reassembles
+    the full arrays, and the result must STILL match the single-process
+    DP ground truth exactly."""
     import socket
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -183,7 +191,8 @@ def test_two_process_train_parity(tmp_path):
     env.pop("XLA_FLAGS", None)  # children: 1 device each
     import subprocess as sp
     procs = [sp.Popen(
-        [sys.executable, _TRAIN_WORKER, str(pid), str(tmp_path), str(port)],
+        [sys.executable, _TRAIN_WORKER, str(pid), str(tmp_path), str(port),
+         mode],
         env=env, stdout=sp.PIPE, stderr=sp.STDOUT) for pid in range(2)]
     outs = [p.communicate(timeout=300)[0].decode() for p in procs]
     for p, o in zip(procs, outs):
@@ -217,14 +226,16 @@ def test_two_process_train_parity(tmp_path):
         jax.tree_util.tree_map(np.asarray, jax.device_get(state.params)))
     assert len(ref_leaves) == sum(1 for k in got.files if k.startswith("leaf"))
     for i, want in enumerate(ref_leaves):
-        # atol 1e-4 vs per-step updates of ~1e-3: a broken collective
-        # (missing/duplicated all-reduce) shifts params by the update
-        # scale and fails; Adam's g/sqrt(v) normalization legitimately
-        # amplifies f32 reduction-order noise on near-zero LoRA-B grads
-        # to ~5e-5 absolute (the same effect NCCL reduction order has on
-        # the reference), which passes.
+        # atol vs per-step updates of ~1e-3 (4e-3 over K steps): a broken
+        # collective (missing/duplicated all-reduce) shifts params by the
+        # update scale and fails; Adam's g/sqrt(v) normalization
+        # legitimately amplifies f32 reduction-order noise on near-zero
+        # LoRA-B grads to ~5e-5 absolute under DP (the same effect NCCL
+        # reduction order has on the reference) and ~2e-4 under FSDP,
+        # whose reduce-scatter orders the sums differently again.
+        atol = 1e-4 if mode == "dp" else 3e-4
         np.testing.assert_allclose(got[f"leaf_{i}"], want, rtol=2e-3,
-                                   atol=1e-4, err_msg=f"leaf {i}")
+                                   atol=atol, err_msg=f"leaf {i}")
     # checkpoint: collectively saved, written once (primary-host semantics
     # — the reference's rank-0 torch.save); restorable with matching params
     assert os.path.isdir(tmp_path / "ckpt")
