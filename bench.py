@@ -264,7 +264,38 @@ def _retry(fn, tag, tries=3):
             time.sleep(10)
 
 
+def _await_backend(max_tries=5, delay=60, probe_timeout=240):
+    """Wait out a tunnel outage before touching jax in this process.
+    Backend init through the tunnel can raise UNAVAILABLE or hang in C++
+    (uninterruptible by Python signals), and a failed init is cached for
+    the life of the process — so probe `jax.device_count()` in a CHILD
+    process that a timeout can always kill, and only proceed once a probe
+    succeeds. Keeps a transient outage at round end from zeroing the
+    round's BENCH artifact."""
+    import subprocess
+    import sys
+
+    for attempt in range(max_tries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.device_count()"],
+                timeout=probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except Exception as e:
+            if attempt == max_tries - 1:
+                raise RuntimeError(
+                    f"TPU backend unavailable after {max_tries} probe "
+                    f"attempts: {type(e).__name__}: {e}")
+            print(f"backend probe failed ({type(e).__name__}); "
+                  f"retry {attempt + 1}/{max_tries} in {delay}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+
+
 def main():
+    _await_backend()
+
     import jax
     import jax.numpy as jnp
 
