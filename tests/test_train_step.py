@@ -156,6 +156,37 @@ def test_fsdp_matches_dp_numerics():
     np.testing.assert_allclose(w_dp, w_fsdp, atol=1e-5, rtol=1e-4)
 
 
+def test_fsdp_spec_selection():
+    """The per-leaf FSDP spec rules: largest divisible axis wins, the
+    [L, ...] scan axis of stacked block leaves is never sharded, leaves
+    below min_size or with no divisible axis stay replicated, and the
+    TP-taken axis is excluded."""
+    from jax.sharding import PartitionSpec as P
+
+    from missm_tpu.parallel.partitioning import param_pspecs
+
+    params = {
+        "embed": np.zeros((100, 64), np.float32),      # 100 % 8 != 0 -> 64
+        "blocks": {"w": np.zeros((8, 32, 16), np.float32)},  # scan axis out
+        "tiny": np.zeros((4, 8), np.float32),          # below min_size
+        "odd": np.zeros((9, 9), np.float32),           # nothing divisible
+    }
+    specs = param_pspecs(params, fsdp_size=8, fsdp_min_size=64)
+    assert specs["embed"] == P(None, "data")           # 64 divisible, 100 not
+    # blocks: axis 0 is the lax.scan layer axis — axis 1 (32) is largest
+    # remaining divisible
+    assert specs["blocks"]["w"] == P(None, "data", None)
+    assert specs["tiny"] == P()
+    assert specs["odd"] == P()
+
+    # TP first: fc1 kernel [L, in, out] is column-sharded on 'model';
+    # FSDP must take the remaining 'in' axis, not double-shard 'out'
+    tp_like = {"blocks": {"mlp": {"fc1": {"w": np.zeros((8, 32, 64),
+                                                        np.float32)}}}}
+    specs = param_pspecs(tp_like, tp=True, fsdp_size=8, fsdp_min_size=64)
+    assert specs["blocks"]["mlp"]["fc1"]["w"] == P(None, "data", "model")
+
+
 def test_fsdp_composes_with_tp():
     """4x2 mesh, Megatron-TP on the model axis + FSDP on the data axis: the
     TP-sharded axis is excluded, a remaining divisible axis takes the data
