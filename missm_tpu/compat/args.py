@@ -212,4 +212,17 @@ def _finalize(parser: argparse.ArgumentParser, argv):
     if accum > 1 and args.batch_size % accum:
         parser.error(f"--batch_size {args.batch_size} must be divisible by "
                      f"--grad_accum {accum} (equal microbatches)")
+    remat = getattr(args, "remat", None)
+    if isinstance(remat, tuple):
+        # policy VALUES are validated at parse time; keys can only be
+        # checked here, against the run's modalities — a typo'd key
+        # ("adio=...") would otherwise silently fall through to the
+        # default policy, the same misconfiguration class _remat_value
+        # fails loudly on
+        known = set(getattr(args, "modality_types", []) or []) | {"default"}
+        unknown = sorted(k for k, _ in remat if k not in known)
+        if unknown:
+            parser.error(
+                f"--remat names unknown modalities {unknown}; this run's "
+                f"modality_types are {sorted(known - {'default'})}")
     return args

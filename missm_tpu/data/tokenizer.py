@@ -27,6 +27,11 @@ try:
 except ImportError:  # pragma: no cover
     import re  # type: ignore
 
+try:
+    import ftfy  # not installable in this environment; see PARITY.md
+except ImportError:  # pragma: no cover
+    ftfy = None  # failed imports are NOT cached — don't retry per call
+
 _PAT = r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
 
 
@@ -122,15 +127,11 @@ class ClipBpeTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         # HF CLIPTokenizer's basic_clean is ftfy.fix_text + the double
-        # html.unescape; ftfy is not installable in this environment, so
-        # mojibake-damaged text (e.g. 'Ã©' that ftfy repairs to 'é')
-        # tokenizes differently than the reference pipeline. Try it if
-        # present; otherwise the caveat is documented in PARITY.md.
-        try:
-            import ftfy
+        # html.unescape; without ftfy, mojibake-damaged text (e.g. 'Ã©'
+        # that ftfy repairs to 'é') tokenizes differently than the
+        # reference pipeline — caveat documented in PARITY.md.
+        if ftfy is not None:
             text = ftfy.fix_text(text)
-        except ImportError:
-            pass
         text = whitespace_clean(html.unescape(html.unescape(text))).lower()
         toks: List[str] = []
         for token in re.findall(self.pat, text):

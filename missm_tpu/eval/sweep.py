@@ -82,15 +82,23 @@ def evaluate_loader(params, eval_step, loader, *, batch_size=None,
                 {"preds": out["preds"], "probs": out["probs"],
                  "loss_sum": out["loss_sum"], "count": out["count"],
                  "labels": labels_p, "n": jnp.int32(n)})
-            losses.append(float(np.sum(g["loss_sum"])) /
-                          max(float(np.sum(g["count"])), 1.0))
+            total = float(np.sum(g["count"]))
+            if total > 0:
+                # a batch index where EVERY host held only wrap-around
+                # duplicates has no real rows — appending its 0.0 "loss"
+                # would deflate the batch-mean val loss
+                losses.append(float(np.sum(g["loss_sum"])) / total)
             ns = np.asarray(g["n"])
             for p in range(ns.shape[0]):
                 n_p = int(ns[p])
                 all_preds.append(np.asarray(g["preds"][p])[:n_p])
                 all_probs.append(np.asarray(g["probs"][p])[:n_p])
                 all_labels.append(np.asarray(g["labels"][p])[:n_p])
-        else:
+        elif n > 0:
+            # n == 0 means the whole batch is wrap-around duplicates
+            # (possible when a sharded loader runs in one process, e.g.
+            # tests); its masked loss is 0/0 -> 0.0 and would deflate
+            # the batch-mean val loss, so skip it entirely
             losses.append(float(out["loss"]))
             all_preds.append(np.asarray(out["preds"])[:n])
             all_probs.append(np.asarray(out["probs"])[:n])

@@ -143,11 +143,12 @@ def make_train_step(cfg: ModelConfig, tx, accum_steps: int = 1):
     (one dispatch, one Adam update), so only one microbatch's
     activations are live at a time — effective batch sizes whose
     activations exceed HBM (docs/PERF.md train3 remat sweeps) train
-    without leaving the device. The CE loss matches the full-batch mean
-    exactly (mean of equal-microbatch means); distillation terms whose
+    without leaving the device. The CE loss matches the full-batch
+    masked mean exactly (per-microbatch means recombined with
+    valid-row-count weights); distillation terms whose
     normalizers are data-dependent (self_distill's masked KL) become
-    means of per-microbatch means — same as running the microbatches as
-    separate steps. Each microbatch draws its own dropout rng. Not in
+    valid-count-weighted means of per-microbatch means — same as
+    running the microbatches as separate valid-weighted steps. Each microbatch draws its own dropout rng. Not in
     the reference (whose A100-80GB never needed it)."""
 
     ema_decay = 0.999 if cfg.fusion.fusion_type == "MTD_stu" else None
@@ -181,16 +182,27 @@ def make_train_step(cfg: ModelConfig, tx, accum_steps: int = 1):
                      jax.random.split(rng, A), split(valid))
             zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
 
+            # each microbatch's loss/grads are means over ITS valid rows;
+            # weight by that row count so the combined step equals the
+            # full-batch masked mean (equal 1/A weights would over-weight
+            # real rows in a sparse final microbatch and let an all-padded
+            # microbatch dilute the update — the padded-row pathology the
+            # `valid` mask exists to prevent). With no padding every
+            # weight is B/A and this reduces to the plain mean.
             def body(carry, xs):
-                g_acc, l_acc = carry
+                g_acc, l_acc, w_acc = carry
+                w = xs[-1].sum().astype(jnp.float32)
                 (l, _), g = grad_fn(trainable, *xs)
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l), None
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + w * b, g_acc, g)
+                return (g_acc, l_acc + w * l, w_acc + w), None
 
-            (g_sum, l_sum), _ = jax.lax.scan(
-                body, (zeros, jnp.zeros((), jnp.float32)), micro)
-            grads = jax.tree_util.tree_map(lambda g: g / A, g_sum)
-            loss = l_sum / A
+            (g_sum, l_sum, w_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.float32)), micro)
+            denom = jnp.maximum(w_sum, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / denom, g_sum)
+            loss = l_sum / denom
         updates, new_opt = tx.update(grads, state.opt_state, trainable)
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_trainable = optax.apply_updates(trainable, updates)

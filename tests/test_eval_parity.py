@@ -299,3 +299,14 @@ def test_shard_wrap_duplicates_excluded_from_eval():
     _, out_labels, preds, probs = evaluate_loader(params, ev, ld)
     assert len(out_labels) == len(preds) == len(probs) == 5
     np.testing.assert_array_equal(out_labels, labels[:5])
+
+    # a batch that is ENTIRELY wrap duplicates (n=0) must be skipped:
+    # its masked loss is 0/0 -> 0.0 and would deflate the batch-mean
+    # val loss that drives plateau/early-stopping
+    class _AllDupTail(ListLoader):
+        shard_real_count = 4  # rows 4-5 (the whole 2nd batch) are dups
+
+    losses, out_labels, preds, _ = evaluate_loader(
+        params, ev, _AllDupTail(data, labels, missing, batch_size=4))
+    assert len(out_labels) == len(preds) == 4
+    assert len(losses) == 1 and losses[0] > 0.0

@@ -435,6 +435,80 @@ def test_grad_accum_matches_manual_microbatching():
                                                  missing, 1e-2, rng)
 
 
+def test_grad_accum_with_valid_mask_weights_microbatches():
+    """accum + padded batch: microbatch means must recombine with
+    valid-row-count weights (4 real rows in micro 1, 1 in micro 2 —
+    equal 1/A weights would give micro 2's single row 4x the gradient
+    weight of micro 1's rows). Ground truth: the manually weighted
+    combination of the two microbatch grads with the same split rngs."""
+    import optax
+
+    from missm_tpu.train.step import (combine_params, compute_loss,
+                                      partition_trainable)
+
+    cfg = tiny_model_cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = tiny_batch()
+    n_real = 5
+    valid = jnp.arange(B) < n_real          # micro counts [4, 1]
+    rng = jax.random.PRNGKey(9)
+
+    treedef, trainable, frozen = partition_trainable(params, cfg)
+
+    def loss_fn(tr, d, lb, mi, r, v):
+        return compute_loss(combine_params(treedef, tr, frozen), None, cfg,
+                            d, lb, mi, r, valid=v)[0]
+
+    h = B // 2
+    rngs = jax.random.split(rng, 2)
+    g_sum, l_sum, w_sum = None, 0.0, 0.0
+    for i in range(2):
+        sl = slice(i * h, (i + 1) * h)
+        d = {k: v[sl] for k, v in data.items()}
+        a = (d, labels[sl], missing[sl], rngs[i], valid[sl])
+        w = float(valid[sl].sum())
+        g = jax.grad(loss_fn)(trainable, *a)
+        l_sum += w * float(loss_fn(trainable, *a))
+        g_sum = (jax.tree_util.tree_map(lambda x: w * x, g) if g_sum is None
+                 else jax.tree_util.tree_map(lambda acc, x: acc + w * x,
+                                             g_sum, g))
+        w_sum += w
+    grads = jax.tree_util.tree_map(lambda x: x / w_sum, g_sum)
+
+    state0, tx0 = init_train_state(params, cfg)
+    updates, _ = tx0.update(grads, state0.opt_state, trainable)
+    updates = jax.tree_util.tree_map(lambda u: -1e-2 * u, updates)
+    expect = jax.tree_util.tree_map(
+        jnp.copy, combine_params(treedef,
+                                 optax.apply_updates(trainable, updates),
+                                 frozen))
+
+    step = make_train_step(cfg, tx0, accum_steps=2)
+    state_a, m = step(state0, data, labels, missing, 1e-2, rng, valid=valid)
+
+    assert float(m["loss"]) == pytest.approx(l_sum / w_sum, rel=1e-6)
+    got = state_a.params["encoder"]["image"]["vision"]["blocks"]["attn"]
+    want = expect["encoder"]["image"]["vision"]["blocks"]["attn"]
+    for k in ("q", "out"):
+        np.testing.assert_allclose(np.asarray(got[k]["w"]),
+                                   np.asarray(want[k]["w"]),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_remat_unknown_modality_key_fails_loudly():
+    """--remat with a typo'd MODALITY key must be a parse error — the
+    key would otherwise silently fall through to the default policy."""
+    from missm_tpu.compat.args import train_args
+
+    base = ["--datasetName", "mvsa", "--csv_path", "x.csv",
+            "--modality_types", "language", "image"]
+    with pytest.raises(SystemExit):
+        train_args(base + ["--remat", "adio=save_attn_mlp"])  # typo
+    args = train_args(base + ["--remat",
+                              "image=save_attn_mlp,default=true"])
+    assert dict(args.remat) == {"image": "save_attn_mlp", "default": True}
+
+
 def test_remat_spec_validation_and_partial_default():
     """A typo'd remat policy must be a loud parse error (silently-off
     remat OOMs ViT-L workloads), and towers a partial per-modality spec
