@@ -205,7 +205,10 @@ def _finalize(parser: argparse.ArgumentParser, argv):
         from .yaml_config import apply_yaml_config, explicit_cli_keys
         import sys
         raw = argv if argv is not None else sys.argv[1:]
-        apply_yaml_config(args, args.config, explicit_cli_keys(parser, raw))
+        types = {a.dest: a.type for a in parser._actions
+                 if a.type is not None}
+        apply_yaml_config(args, args.config, explicit_cli_keys(parser, raw),
+                          types=types)
     accum = getattr(args, "grad_accum", 1)
     if accum < 1:
         parser.error(f"--grad_accum must be >= 1, got {accum}")

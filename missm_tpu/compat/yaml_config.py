@@ -37,18 +37,32 @@ def _flatten(doc: Dict[str, Any]):
 
 
 def apply_yaml_config(args: argparse.Namespace, path: str,
-                      cli_overrides: set | None = None) -> argparse.Namespace:
+                      cli_overrides: set | None = None,
+                      types: Dict[str, Any] | None = None
+                      ) -> argparse.Namespace:
     """Merge YAML values into `args`. Keys whose flags were explicitly set
-    on the command line (`cli_overrides`) win over the file."""
+    on the command line (`cli_overrides`) win over the file.
+
+    `types` maps argparse dests to their `type=` callables: YAML string
+    values route through the same parser/validator the CLI flag uses
+    (e.g. `remat: "video=save_attn_mlp"` becomes the parsed per-modality
+    tuple and a typo'd policy raises, instead of a raw string silently
+    reaching the model layer)."""
     import yaml
     with open(path) as f:
         doc = yaml.safe_load(f) or {}
     cli_overrides = cli_overrides or set()
+    types = types or {}
     for key, value in _flatten(doc):
         if key in cli_overrides:
             continue
         if not hasattr(args, key):
             raise KeyError(f"unknown config key {key!r} in {path}")
+        conv = types.get(key)
+        if conv is not None and isinstance(value, str):
+            value = conv(value)
+        elif conv is not None and isinstance(value, list):
+            value = [conv(v) if isinstance(v, str) else v for v in value]
         setattr(args, key, value)
     return args
 

@@ -25,3 +25,31 @@ def test_yaml_unknown_key_raises(tmp_path):
     cfg.write_text("model:\n  fusion_typo: sum\n")
     with pytest.raises(KeyError, match="fusion_typo"):
         train_args(["--config", str(cfg)])
+
+
+def test_yaml_values_route_through_flag_parsers(tmp_path):
+    """YAML strings must pass through the same type= callables the CLI
+    flag uses: a remat spec becomes the parsed tuple (validated), not a
+    raw string silently reaching the model layer; typo'd policies and
+    unknown modality keys fail just like on the CLI."""
+    import argparse
+
+    good = tmp_path / "good.yaml"
+    good.write_text("remat: video=save_attn_mlp,default=true\n"
+                    "dataset:\n  name: AVE\n  csv_path: /d/l.csv\n"
+                    "  modality_types: [language, video, audio]\n")
+    args = train_args(["--config", str(good)])
+    assert dict(args.remat) == {"video": "save_attn_mlp", "default": True}
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("remat: video=save_atn_mlp\n"   # typo'd policy value
+                   "dataset:\n  name: AVE\n  csv_path: /d/l.csv\n")
+    with pytest.raises(argparse.ArgumentTypeError):
+        train_args(["--config", str(bad)])
+
+    badkey = tmp_path / "badkey.yaml"
+    badkey.write_text("remat: adio=save_attn_mlp\n"  # typo'd modality key
+                      "dataset:\n  name: AVE\n  csv_path: /d/l.csv\n"
+                      "  modality_types: [language, audio]\n")
+    with pytest.raises(SystemExit):
+        train_args(["--config", str(badkey)])
