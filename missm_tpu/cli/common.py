@@ -42,7 +42,7 @@ def build_tower_cfgs(args) -> Dict[str, TowerConfig]:
     return cfgs
 
 
-def build_model_config(args, num_classes: int) -> ModelConfig:
+def build_model_config(args, num_classes: int, mesh=None) -> ModelConfig:
     towers = build_tower_cfgs(args)
     feature_dims = args.feature_dims
     if args.model_scale == "tiny":
@@ -55,11 +55,21 @@ def build_model_config(args, num_classes: int) -> ModelConfig:
         fusion_dim=args.fusion_dim,
         dropout_prob=args.dropout_prob,
     )
+    pipe = None
+    n_pipe = getattr(args, "mesh_pipe", 1)
+    if n_pipe > 1:
+        if mesh is None:
+            raise ValueError("--mesh_pipe > 1 needs the mesh (setup_mesh "
+                             "before build_model_config)")
+        from ..parallel import PipeConfig
+        pipe = PipeConfig(mesh, n_pipe=n_pipe,
+                          microbatches=getattr(args, "pipe_microbatches", 0))
     return ModelConfig(towers=tuple(towers.items()), fusion=fusion,
                        remat=getattr(args, "remat", False),
                        compute_dtype=("bfloat16"
                                       if getattr(args, "bf16", False)
-                                      else "float32"))
+                                      else "float32"),
+                       pipe=pipe)
 
 
 def _load_torch_state_dict(ckpt_dir: str):
@@ -148,7 +158,8 @@ def setup_mesh(args):
     enable_cache()
     maybe_init_distributed(args)
     n_model = getattr(args, "mesh_model", 1)
-    mesh = make_mesh(n_model=n_model)
+    n_pipe = getattr(args, "mesh_pipe", 1)
+    mesh = make_mesh(n_model=n_model, n_pipe=n_pipe)
     return mesh
 
 

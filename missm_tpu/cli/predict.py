@@ -46,7 +46,7 @@ def main(argv=None):
     ds = MMDataset(spec, sub, "/".join(args.csv_path.split("/")[:-1]),
                    labels[df["mode"] == split], split, False)
 
-    cfg = build_model_config(args, num_classes)
+    cfg = build_model_config(args, num_classes, mesh=mesh)
     ckpt = os.path.join(args.model_ckpt_dir,
                         f"{args.datasetName}_{args.fusion_type}")
     tree, _ = restore_checkpoint(ckpt)

@@ -34,7 +34,7 @@ def main(argv=None):
         args, args.csv_path, tokenizer, media_loaders,
         missing_path=args.missing_index_path)
 
-    cfg = build_model_config(args, num_classes)
+    cfg = build_model_config(args, num_classes, mesh=mesh)
 
     ckpt = os.path.join(args.model_ckpt_dir,
                         f"{args.datasetName}_{args.fusion_type}")

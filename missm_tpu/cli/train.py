@@ -56,7 +56,7 @@ def main(argv=None):
         args, args.csv_path, tokenizer, media_loaders,
         num_shards=jax.process_count(), shard_index=jax.process_index())
 
-    cfg = build_model_config(args, num_classes)
+    cfg = build_model_config(args, num_classes, mesh=mesh)
     key = jax.random.PRNGKey(args.seed)
     params = init_params(args, cfg, key)
 
@@ -73,7 +73,8 @@ def main(argv=None):
         teacher_fusion = tree["params"]["fusion"]
 
     params = partition_params(params, mesh, tp=args.mesh_model > 1,
-                              fsdp=getattr(args, "fsdp", False))
+                              fsdp=getattr(args, "fsdp", False),
+                              pipe=getattr(args, "mesh_pipe", 1) > 1)
     device_put = make_device_put(mesh, cast_bf16=args.bf16)
 
     writer = None

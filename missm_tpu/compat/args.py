@@ -8,6 +8,8 @@ reference behavior:
                      only mode)
   --fsdp             ZeRO-3-style sharding of params + optimizer state over
                      the data axis (memory; math identical to DP)
+  --mesh_pipe        GPipe pipeline-parallel stages over the block stacks
+                     (memory lever for depth; math identical to DP)
   --model_scale      'large' (LanguageBind ViT-L) | 'tiny' (tests/smoke)
   --init             'checkpoint' | 'random' (no-network smoke runs)
   --vocab_file/--merges_file   CLIP BPE files
@@ -80,6 +82,18 @@ def _tpu_extras(p: argparse.ArgumentParser):
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + Adam moments over the data axis "
                         "(ZeRO-3 via GSPMD); pure memory lever, math == DP")
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over the scanned "
+                        "block stack; parallel/pipeline.py). Each stage "
+                        "holds layers/stages params + Adam state; "
+                        "activations stream over ICI. Layer counts must "
+                        "divide (ViT-L 24 / text 12: 2, 4, or 6 stages). "
+                        "Math == DP; memory lever for depth, composes with "
+                        "--mesh_model/--fsdp")
+    p.add_argument("--pipe_microbatches", type=int, default=0,
+                   help="microbatches per pipelined call (0 = mesh_pipe, "
+                        "the minimum; more shrinks the (S-1)/(M+S-1) "
+                        "bubble at smaller per-microbatch shapes)")
     p.add_argument("--model_scale", type=str, default="large",
                    choices=["large", "tiny"])
     p.add_argument("--init", type=str, default="checkpoint",
@@ -215,6 +229,14 @@ def _finalize(parser: argparse.ArgumentParser, argv):
     if accum > 1 and args.batch_size % accum:
         parser.error(f"--batch_size {args.batch_size} must be divisible by "
                      f"--grad_accum {accum} (equal microbatches)")
+    n_pipe = getattr(args, "mesh_pipe", 1)
+    if n_pipe < 1:
+        parser.error(f"--mesh_pipe must be >= 1, got {n_pipe}")
+    mb = getattr(args, "pipe_microbatches", 0)
+    if mb and mb < n_pipe:
+        parser.error(f"--pipe_microbatches {mb} < --mesh_pipe {n_pipe}: "
+                     f"fewer microbatches than stages leaves stages idle "
+                     f"every tick (minimum is one per stage)")
     remat = getattr(args, "remat", None)
     if isinstance(remat, tuple):
         # policy VALUES are validated at parse time; keys can only be

@@ -14,20 +14,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """Build a (data, model) mesh over the available devices.
+              n_pipe: int = 1, devices=None) -> Mesh:
+    """Build a (data, model[, pipe]) mesh over the available devices.
 
     With no arguments, uses all devices on the data axis (pure DP) — the
-    TPU-native equivalent of the reference's DDP world.
+    TPU-native equivalent of the reference's DDP world. A `pipe` axis is
+    only materialized when n_pipe > 1 (pipeline parallelism,
+    parallel/pipeline.py), so existing 2-axis meshes are unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
-        devices = devices[: n_data * n_model]
+        n_data = len(devices) // (n_model * n_pipe)
+    if n_data * n_model * n_pipe != len(devices):
+        devices = devices[: n_data * n_model * n_pipe]
+    if n_pipe > 1:
+        grid = np.asarray(devices).reshape(n_data, n_model, n_pipe)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
     grid = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

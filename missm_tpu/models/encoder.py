@@ -81,7 +81,7 @@ def _remat_for(remat, modality):
 
 def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
            *, use_temp: bool = True, train: bool = False, rng=None,
-           remat: bool = False) -> Dict[str, jax.Array]:
+           remat: bool = False, pipe=None) -> Dict[str, jax.Array]:
     """inputs: {'language': input_ids [B, L]} and/or
     {modality: pixel_values [B, C, H, W] / [B, C, T, H, W]}.
 
@@ -103,7 +103,8 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
             _, pooled = text_features(params["language"]["text"],
                                       any_cfg.text, ids, am,
                                       remat=_remat_for(remat, "language"),
-                                      projection=params["language"]["proj"])
+                                      projection=params["language"]["proj"],
+                                      pipe=pipe)
             out[name] = l2_normalize(pooled)
         else:
             cfg = tower_cfgs[name]
@@ -113,7 +114,8 @@ def encode(params, tower_cfgs: Mapping[str, TowerConfig], inputs: Mapping,
             pooled = vision_features(params[name]["vision"], cfg.vision,
                                      value, train=train, rng=sub,
                                      remat=_remat_for(remat, name),
-                                     projection=params[name]["proj"])
+                                     projection=params[name]["proj"],
+                                     pipe=pipe)
             pooled = l2_normalize(pooled)
             if use_temp:
                 pooled = pooled * jnp.exp(params[name]["logit_scale"])

@@ -35,6 +35,10 @@ class ModelConfig:
     # 'default' (encoder._remat_for) — policy economics differ per tower.
     remat: bool | str | tuple = False
     compute_dtype: str = "float32"
+    # parallel.pipeline.PipeConfig for GPipe pipeline parallelism over the
+    # scanned block stacks (None = plain scan). Hashable, so jit can close
+    # over the config as usual.
+    pipe: object | None = None
 
     @property
     def tower_dict(self):
@@ -95,7 +99,7 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
                 for k, v in data.items()}
     embeds = encode(enc_params, cfg.tower_dict, data,
                     use_temp=cfg.use_temp, train=train, rng=r_enc,
-                    remat=cfg.remat)
+                    remat=cfg.remat, pipe=cfg.pipe)
     # fusion heads always run f32 (small; the reference trains them in f32)
     embeds = {k: v.astype(jnp.float32) for k, v in embeds.items()}
     return fusion_forward(params["fusion"], cfg.fusion, embeds, missing_index,

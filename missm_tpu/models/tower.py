@@ -343,21 +343,48 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
 
 
 def _encoder(blocks, x, *, num_heads, act, eps, bias=None, causal=False,
-             key_bias=None, time=None, lora_scaling=None, remat=False):
-    """Scan the stacked blocks over the layer axis."""
+             key_bias=None, time=None, lora_scaling=None, remat=False,
+             pipe=None):
+    """Scan the stacked blocks over the layer axis.
+
+    With `pipe` (a parallel.pipeline.PipeConfig), the stack runs as a
+    GPipe pipeline over the mesh's pipe axis instead: each stage scans its
+    L/S local layers and activations stream between stages (numerically
+    identical — same per-layer math, different schedule)."""
+    kwargs = dict(num_heads=num_heads, act=act, eps=eps, causal=causal,
+                  time=time, lora_scaling=lora_scaling, remat=remat)
+
+    if pipe is not None and pipe.n_pipe > 1:
+        from ..parallel.pipeline import pipeline_blocks
+        names, extras = [], []
+        for nm, v in (("bias", bias), ("key_bias", key_bias)):
+            if v is not None:
+                names.append(nm)
+                extras.append(v)
+        group = time[0] if time is not None else 1
+
+        def block_fn(blocks_local, h, *ex):
+            kw = dict(kwargs, **dict(zip(names, ex)))
+
+            def body(h, p):
+                return _block_forward(p, h, **kw), None
+
+            h, _ = jax.lax.scan(body, h, blocks_local)
+            return h
+
+        return pipeline_blocks(pipe, blocks, x, tuple(extras), group=group,
+                               block_fn=block_fn)
 
     def body(h, p):
-        return _block_forward(p, h, num_heads=num_heads, act=act, eps=eps,
-                              bias=bias, causal=causal, key_bias=key_bias,
-                              time=time, lora_scaling=lora_scaling,
-                              remat=remat), None
+        return _block_forward(p, h, bias=bias, key_bias=key_bias,
+                              **kwargs), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
 
 
 def text_features(params, cfg: TextConfig, input_ids, attention_mask=None, *,
-                  remat=False, projection=None):
+                  remat=False, projection=None, pipe=None):
     """input_ids: [B, L] int32 -> (last_hidden [B, L, D], pooled [B, D]).
 
     attention_mask: optional [B, L] (1 = attend, 0 = pad), combined
@@ -380,7 +407,7 @@ def text_features(params, cfg: TextConfig, input_ids, attention_mask=None, *,
         key_bias = jnp.where(attention_mask[:, None, :] == 0, neg, 0.0)
     x = _encoder(params["blocks"], x, num_heads=cfg.num_heads,
                  act=get_activation(cfg.hidden_act), eps=cfg.layer_norm_eps,
-                 causal=True, key_bias=key_bias, remat=remat)
+                 causal=True, key_bias=key_bias, remat=remat, pipe=pipe)
     x = layer_norm(params["final_ln"], x, cfg.layer_norm_eps)
     # EOT pooling: argmax of token ids (EOT has the highest id in CLIP's
     # vocab; reference :519-522). argmax picks the first occurrence, matching
@@ -433,7 +460,7 @@ def _patch_dropout(key, x, B, T, prob: float, row_offset: int = 0):
 
 
 def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
-                    rng=None, remat=False, projection=None):
+                    rng=None, remat=False, projection=None, pipe=None):
     """pixel_values: [B, C, H, W] or [B, C, T, H, W] -> pooled [B, D].
 
     Shape dispatch mirrors reference image/modeling_image.py:630-643; pooling
@@ -467,16 +494,17 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
                                                 (i + 1) * per_chunk],
                                    train=train, rng=rng, remat=remat,
                                    projection=projection,
-                                   row_offset=i * per_chunk)
+                                   row_offset=i * per_chunk, pipe=pipe)
             for i in range(n_chunks)], axis=0)
         return pooled
     return _vision_features_chunk(params, cfg, pixel_values, train=train,
-                                  rng=rng, remat=remat, projection=projection)
+                                  rng=rng, remat=remat, projection=projection,
+                                  pipe=pipe)
 
 
 def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
                            train=False, rng=None, remat=False,
-                           projection=None, row_offset: int = 0):
+                           projection=None, row_offset: int = 0, pipe=None):
     if pixel_values.ndim == 7:
         # (b, pair, T, bs, c, h, w) — the reference's 7-D retrieval-pair
         # layout (image/modeling_image.py:630-634): flatten to (B, T, C, H, W)
@@ -549,7 +577,7 @@ def _vision_features_chunk(params, cfg: VisionConfig, pixel_values, *,
     time = (T, x.shape[1]) if cfg.add_time_attn else None
     x = _encoder(params["blocks"], x, num_heads=cfg.num_heads,
                  act=get_activation(cfg.hidden_act), eps=cfg.layer_norm_eps,
-                 time=time, lora_scaling=lora_scaling, remat=remat)
+                 time=time, lora_scaling=lora_scaling, remat=remat, pipe=pipe)
 
     pooled = x[:, 0, :]
     pooled = layer_norm(params["post_ln"], pooled, cfg.layer_norm_eps)

@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, MODEL_AXIS
+from ..core.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
 def _path_names(path):
@@ -69,6 +69,18 @@ def _tp_spec(path, leaf) -> P:
     return P()
 
 
+def _pipe_spec(path, leaf, base: P) -> P:
+    """Shard the [L, ...] stacked block leaves' layer axis over the pipe
+    mesh axis (each pipeline stage holds its own L/S layers + their Adam
+    state). Non-block leaves stay replicated over pipe — the pipelined
+    region only consumes block params (parallel/pipeline.py)."""
+    if "blocks" not in _path_names(path) or leaf.ndim == 0:
+        return base
+    spec = list(base) + [None] * (leaf.ndim - len(base))
+    spec[0] = PIPE_AXIS
+    return P(*spec)
+
+
 FSDP_MIN_SIZE = 65536  # leaves below this (elements) stay replicated
 
 
@@ -94,14 +106,17 @@ def _fsdp_spec(path, leaf, base: P, n_data: int, min_size: int) -> P:
 
 
 def param_pspecs(params, tp: bool = False, fsdp_size: int = 0,
-                 fsdp_min_size: int = FSDP_MIN_SIZE):
+                 fsdp_min_size: int = FSDP_MIN_SIZE, pipe: bool = False):
     """Partition specs for the param tree. `tp` adds the Megatron col/row
-    specs over MODEL_AXIS; `fsdp_size` > 1 additionally shards large leaves
-    over DATA_AXIS (ZeRO-3)."""
+    specs over MODEL_AXIS; `pipe` shards the block stacks' layer axis over
+    PIPE_AXIS; `fsdp_size` > 1 additionally shards large leaves over
+    DATA_AXIS (ZeRO-3)."""
     if tp:
         specs = jax.tree_util.tree_map_with_path(_tp_spec, params)
     else:
         specs = jax.tree_util.tree_map(lambda _: P(), params)
+    if pipe:
+        specs = jax.tree_util.tree_map_with_path(_pipe_spec, params, specs)
     if fsdp_size and fsdp_size > 1:
         specs = jax.tree_util.tree_map_with_path(
             lambda p, leaf, s: _fsdp_spec(p, leaf, s, fsdp_size,
@@ -112,12 +127,13 @@ def param_pspecs(params, tp: bool = False, fsdp_size: int = 0,
 
 def partition_params(params, mesh: Mesh, tp: bool = False,
                      fsdp: bool = False,
-                     fsdp_min_size: int = FSDP_MIN_SIZE):
+                     fsdp_min_size: int = FSDP_MIN_SIZE,
+                     pipe: bool = False):
     """device_put the param tree with its partition specs; jit consumes the
     shardings from the arrays themselves."""
     specs = param_pspecs(params, tp,
                          fsdp_size=mesh.shape[DATA_AXIS] if fsdp else 0,
-                         fsdp_min_size=fsdp_min_size)
+                         fsdp_min_size=fsdp_min_size, pipe=pipe)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 

@@ -1,0 +1,208 @@
+"""Pipeline parallelism (GPipe over the scanned block stack) on the
+8-device virtual CPU mesh: forward/train parity vs plain DP, composition
+with TP / FSDP / remat / temporal towers, stage sharding, validation.
+
+The reference has no pipeline parallelism (DDP only, train_ddp.py:145,189);
+this is a TPU-native scaling extra — the tests pin that it is a pure
+schedule change (identical numerics to the plain scan)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from missm_tpu.core.config import MODALITY_CODES, tiny_tower
+from missm_tpu.core.mesh import make_mesh
+from missm_tpu.models.finetune import (
+    ModelConfig, init_model_params, model_forward,
+)
+from missm_tpu.models.fusion import FusionConfig
+from missm_tpu.parallel import PipeConfig, partition_params, shard_batch
+from missm_tpu.train.step import init_train_state, make_train_step
+
+B = 8
+L = 16
+NUM_CLASSES = 3
+
+
+def model_cfg(fusion_type="sum", **kw):
+    towers = (("image", tiny_tower("image")), ("video", tiny_tower("video")))
+    fusion = FusionConfig(fusion_type=fusion_type,
+                          modality_types=("language", "video", "image"),
+                          output_dims=NUM_CLASSES, feature_dims=24,
+                          fusion_dim=8)
+    return ModelConfig(towers=towers, fusion=fusion, **kw)
+
+
+def batch(rng_seed=0, with_mask=False):
+    rng = np.random.default_rng(rng_seed)
+    ids = jnp.asarray(rng.integers(1, 98, size=(B, L)), dtype=jnp.int32)
+    if with_mask:
+        mask = np.ones((B, L), np.int32)
+        mask[:, L // 2:] = 0
+        language = {"input_ids": ids, "attention_mask": jnp.asarray(mask)}
+    else:
+        language = ids
+    data = {
+        "language": language,
+        "image": jnp.asarray(
+            rng.standard_normal((B, 3, 32, 32)).astype(np.float32)),
+        "video": jnp.asarray(
+            rng.standard_normal((B, 3, 4, 32, 32)).astype(np.float32)),
+    }
+    labels = jnp.asarray(rng.integers(0, NUM_CLASSES, B), dtype=jnp.int32)
+    missing = jnp.asarray(
+        rng.choice([0, MODALITY_CODES["language"], MODALITY_CODES["video"],
+                    MODALITY_CODES["image"]], B), dtype=jnp.int32)
+    return data, labels, missing
+
+
+def test_pipeline_fwd_parity():
+    """Pipelining is a schedule change only: eval logits match the plain
+    scan to fp32 noise — incl. the temporal (video) tower, whose
+    microbatches must keep whole videos together, and the text tower's
+    key-bias extra, which must track each stage's in-flight microbatch."""
+    cfg = model_cfg()
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch(with_mask=True)
+
+    ref, _ = jax.jit(lambda p, d, m: model_forward(p, cfg, d, m))(
+        params, data, missing)
+
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+    cfg_pp = dataclasses.replace(cfg, pipe=PipeConfig(mesh, n_pipe=2))
+    pp_params = partition_params(params, mesh, pipe=True)
+    d = shard_batch(data, mesh)
+    out, _ = jax.jit(lambda p, d, m: model_forward(p, cfg_pp, d, m))(
+        pp_params, d, missing)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_matches_dp_numerics():
+    """Two train steps under (data=4, pipe=2, microbatches=4) produce the
+    same loss and params as pure DP, with the block params — and the Adam
+    state built from them — sharded over the pipe axis, and STILL sharded
+    after the update (each stage owns its layers' optimizer state)."""
+    cfg = model_cfg("sum")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch()
+
+    results = []
+    for n_pipe in (1, 2):
+        mesh = make_mesh(n_data=8 // n_pipe, n_model=1, n_pipe=n_pipe)
+        c = cfg if n_pipe == 1 else dataclasses.replace(
+            cfg, pipe=PipeConfig(mesh, n_pipe=n_pipe, microbatches=4))
+        params = partition_params(
+            jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh,
+            pipe=n_pipe > 1)
+        state, tx = init_train_state(params, c)
+        if n_pipe > 1:
+            w = state.params["encoder"]["image"]["vision"]["blocks"]["mlp"][
+                "fc1"]["w"]
+            assert w.sharding.spec[0] == "pipe", w.sharding
+            mu = [m for m in jax.tree_util.tree_leaves(state.opt_state)
+                  if hasattr(m, "sharding") and getattr(m, "shape", None)
+                  == w.shape]
+            assert mu and all("pipe" in str(m.sharding.spec) for m in mu)
+        step = make_train_step(c, tx)
+        d = shard_batch(data, mesh)
+        for i in range(2):
+            state, m = step(state, d, labels, missing, 1e-2,
+                            jax.random.PRNGKey(i))
+        if n_pipe > 1:
+            w = state.params["encoder"]["image"]["vision"]["blocks"]["mlp"][
+                "fc1"]["w"]
+            assert "pipe" in str(w.sharding.spec), (
+                "pipe sharding lost through the train step")
+        results.append((float(m["loss"]),
+                        np.asarray(state.params["fusion"]["proj"]["image"]["w"])))
+
+    (loss_dp, w_dp), (loss_pp, w_pp) = results
+    assert loss_dp == pytest.approx(loss_pp, rel=1e-5)
+    np.testing.assert_allclose(w_dp, w_pp, atol=1e-5, rtol=1e-4)
+
+
+def test_pipeline_composes_with_tp_and_remat():
+    """(data=2, model=2, pipe=2): Megatron-TP shardings ride the auto axes
+    through the manual-pipe region, and jax.checkpoint remat runs inside
+    the pipeline body. Loss must match the pure-DP step."""
+    cfg = model_cfg("concat", remat="save_attn")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch()
+
+    mesh_dp = make_mesh()  # 8 x 1
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh_dp)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    state, m_dp = step(state, shard_batch(data, mesh_dp), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+    c = dataclasses.replace(cfg, pipe=PipeConfig(mesh, n_pipe=2))
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh,
+        tp=True, pipe=True)
+    w = params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"]["w"]
+    assert w.sharding.spec[0] == "pipe" and "model" in str(w.sharding.spec)
+    state, tx = init_train_state(params, c)
+    step = make_train_step(c, tx)
+    state, m_pp = step(state, shard_batch(data, mesh), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+    assert float(m_dp["loss"]) == pytest.approx(float(m_pp["loss"]),
+                                                rel=1e-5)
+
+
+def test_pipeline_cli_smoke(tmp_path, monkeypatch):
+    """`--mesh_pipe 2` drives the full train-then-test CLI path: the mesh
+    grows a pipe axis, block params + Adam state shard over it, and the
+    eval sweep runs the pipelined forward."""
+    from tests.synthetic import make_mvsa_tree
+    from missm_tpu.cli.train import main as train_main
+    from missm_tpu.cli.test import main as test_main
+
+    csv = make_mvsa_tree(str(tmp_path / "mvsa_multiple"), write_media=True)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+
+    argv = ["--datasetName", "mvsa", "--csv_path", csv,
+            "--modality_types", "language", "image",
+            "--fusion_type", "sum", "--model_scale", "tiny",
+            "--hash_tokenizer", "--init", "random", "--batch_size", "2",
+            "--num_epochs", "1", "--num_workers", "0", "--mesh_pipe", "2"]
+    _, hist = train_main(argv)
+    assert len(hist) == 1 and np.isfinite(hist[0]["val_loss"])
+
+    argv_t = ["--datasetName", "mvsa", "--csv_path", csv,
+              "--modality_types", "language", "image",
+              "--fusion_type", "sum", "--test_types", "sum",
+              "--test_missing_type", "language",
+              "--model_scale", "tiny", "--hash_tokenizer",
+              "--batch_size", "8", "--mesh_pipe", "2"]
+    results = test_main(argv_t)
+    for r, m in results["sum"]["language"].items():
+        assert np.isfinite(m["accuracy"])
+
+
+def test_pipeline_validation():
+    """Layer count not divisible by stages / batch not divisible into
+    whole-group microbatches fail loudly at trace time."""
+    from missm_tpu.parallel.pipeline import pipeline_blocks
+
+    mesh = make_mesh(n_data=4, n_model=1, n_pipe=2)
+    blocks = {"w": jnp.zeros((3, 4, 4))}  # 3 layers, 2 stages
+    x = jnp.zeros((8, 5, 4))
+    with pytest.raises(ValueError, match="not divisible by pipe"):
+        pipeline_blocks(PipeConfig(mesh, 2), blocks, x,
+                        block_fn=lambda b, h: h)
+
+    blocks = {"w": jnp.zeros((2, 4, 4))}
+    with pytest.raises(ValueError, match="microbatches"):
+        # 8 rows, 2 microbatches of 4 rows, but group=3 doesn't divide
+        pipeline_blocks(PipeConfig(mesh, 2), blocks, x, group=3,
+                        block_fn=lambda b, h: h)
