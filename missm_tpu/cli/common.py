@@ -163,6 +163,23 @@ def setup_mesh(args):
     return mesh
 
 
+def round_eval_batch(args, mesh) -> int:
+    """Round the (global) eval batch up so every static step shape is
+    valid: a multiple of the data axis (even GSPMD batch sharding) and,
+    under --mesh_pipe, of the pipeline microbatch count M (the GPipe
+    schedule splits the batch into M whole microbatches). The eval pass
+    pads partial batches, so metrics are unaffected."""
+    import math
+
+    n_data = mesh.shape["data"]
+    mult = n_data
+    if getattr(args, "mesh_pipe", 1) > 1:
+        m = getattr(args, "pipe_microbatches", 0) or args.mesh_pipe
+        mult = mult * m // math.gcd(mult, m)
+    args.batch_size = -(-args.batch_size // mult) * mult
+    return args.batch_size
+
+
 def make_device_put(mesh, cast_bf16: bool = False):
     """Host->device batch transfer. With cast_bf16 (the --bf16 towers),
     float32 media arrays are cast to bfloat16 ON THE HOST before the

@@ -15,7 +15,7 @@ from ..data.datasets import DATASET_SPECS, MMDataset, encode_labels
 from ..eval.predictor import Predictor
 from ..train.checkpoint import restore_checkpoint
 from .common import (build_model_config, make_device_put, make_loader_fns,
-                     make_tokenizer, setup_mesh)
+                     make_tokenizer, round_eval_batch, setup_mesh)
 
 
 def main(argv=None):
@@ -35,8 +35,7 @@ def main(argv=None):
     args = test_args(raw)
 
     mesh = setup_mesh(args)
-    n_data = mesh.shape["data"]
-    args.batch_size = -(-args.batch_size // n_data) * n_data
+    round_eval_batch(args, mesh)
 
     spec = DATASET_SPECS[args.datasetName]
     import pandas as pd

@@ -14,7 +14,8 @@ from ..eval.sweep import run_missing_sweep
 from ..train.checkpoint import restore_checkpoint
 from ..train.step import make_eval_step
 from .common import (build_model_config, init_params, make_device_put,
-                     make_loader_fns, make_tokenizer, setup_mesh)
+                     make_loader_fns, make_tokenizer, round_eval_batch,
+                     setup_mesh)
 
 
 def main(argv=None):
@@ -23,10 +24,7 @@ def main(argv=None):
     os.makedirs(result_dir, exist_ok=True)
 
     mesh = setup_mesh(args)
-    # round the (global) eval batch up to a data-axis multiple; the eval
-    # pass pads partial batches, so metrics are unaffected
-    n_data = mesh.shape["data"]
-    args.batch_size = -(-args.batch_size // n_data) * n_data
+    round_eval_batch(args, mesh)
 
     tokenizer = make_tokenizer(args)
     media_loaders = make_loader_fns(args)

@@ -177,7 +177,7 @@ def train_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--save_path", type=str, default="checkpoints")
     parser.add_argument("--log_dir", type=str, default="logs")
     _tpu_extras(parser)
-    return _finalize(parser, argv)
+    return _finalize(parser, argv, train=True)
 
 
 def test_args(argv=None) -> argparse.Namespace:
@@ -213,7 +213,7 @@ def test_args(argv=None) -> argparse.Namespace:
     return _finalize(parser, argv)
 
 
-def _finalize(parser: argparse.ArgumentParser, argv):
+def _finalize(parser: argparse.ArgumentParser, argv, train: bool = False):
     args = parser.parse_args(argv)
     if args.config:
         from .yaml_config import apply_yaml_config, explicit_cli_keys
@@ -237,6 +237,22 @@ def _finalize(parser: argparse.ArgumentParser, argv):
         parser.error(f"--pipe_microbatches {mb} < --mesh_pipe {n_pipe}: "
                      f"fewer microbatches than stages leaves stages idle "
                      f"every tick (minimum is one per stage)")
+    if n_pipe > 1 and train:
+        # the GPipe schedule splits each TRAIN step's batch (after the
+        # grad-accum split) into M whole microbatches; catch the
+        # divisibility failure at the parser instead of deep inside the
+        # first jitted train-step trace. Eval entry points (no
+        # --grad_accum) instead round their batch up via
+        # cli.common.round_eval_batch, since eval pads partial batches.
+        m = mb or n_pipe
+        per_step = args.batch_size // accum
+        if per_step % m:
+            parser.error(
+                f"--batch_size {args.batch_size}"
+                + (f" / --grad_accum {accum}" if accum > 1 else "")
+                + f" = {per_step} rows per step is not divisible into "
+                  f"{m} pipeline microbatches (--mesh_pipe {n_pipe}"
+                + (f", --pipe_microbatches {mb}" if mb else "") + ")")
     remat = getattr(args, "remat", None)
     if isinstance(remat, tuple):
         # policy VALUES are validated at parse time; keys can only be

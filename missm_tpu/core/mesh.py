@@ -27,6 +27,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     parallel/pipeline.py), so existing 2-axis meshes are unchanged.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < n_model * n_pipe:
+        raise ValueError(
+            f"mesh needs at least n_model*n_pipe = {n_model}*{n_pipe} = "
+            f"{n_model * n_pipe} devices, have {len(devices)}")
     if n_data is None:
         n_data = len(devices) // (n_model * n_pipe)
     if n_data * n_model * n_pipe != len(devices):

@@ -486,6 +486,13 @@ def vision_features(params, cfg: VisionConfig, pixel_values, *, train=False,
     chunk_inst = cfg.chunk_instances or 64 * jax.device_count()
     bv = pixel_values.shape[0]
     per_chunk = max(1, chunk_inst // max(inst_per, 1))
+    if pipe is not None and pipe.n_pipe > 1:
+        # each chunk runs its own GPipe schedule, whose microbatch count M
+        # must divide the chunk's video count — round the chunk size to a
+        # multiple of M (the ragged last chunk then stays a multiple too,
+        # because callers pad batches to an M multiple)
+        m = pipe.m
+        per_chunk = max(m, per_chunk - per_chunk % m)
     if bv > per_chunk:
         n_chunks = -(-bv // per_chunk)
         pooled = jnp.concatenate([

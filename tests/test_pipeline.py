@@ -189,6 +189,61 @@ def test_pipeline_cli_smoke(tmp_path, monkeypatch):
         assert np.isfinite(m["accuracy"])
 
 
+def test_pipeline_flag_validation():
+    """Invalid --mesh_pipe combinations fail at the PARSER, and eval
+    batches round up to a microbatch multiple instead of failing."""
+    from missm_tpu.compat.args import train_args, test_args
+    from missm_tpu.cli.common import round_eval_batch
+
+    base = ["--datasetName", "mvsa", "--csv_path", "x.csv",
+            "--modality_types", "language", "image",
+            "--fusion_type", "sum"]
+    with pytest.raises(SystemExit):
+        # 3 rows per step can't split into 2 microbatches
+        train_args(base + ["--batch_size", "3", "--mesh_pipe", "2"])
+    with pytest.raises(SystemExit):
+        # accum split leaves 1 row per step vs 2 microbatches
+        train_args(base + ["--batch_size", "4", "--grad_accum", "4",
+                           "--mesh_pipe", "2"])
+    args = train_args(base + ["--batch_size", "8", "--grad_accum", "2",
+                              "--mesh_pipe", "2"])
+    assert args.mesh_pipe == 2
+
+    # eval: odd batch + pipe rounds up to lcm(data, microbatches)
+    ev = test_args(base + ["--test_types", "sum", "--batch_size", "3",
+                           "--mesh_pipe", "2", "--pipe_microbatches", "4"])
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+    assert round_eval_batch(ev, mesh) == 4  # lcm(2, 4)
+
+    # a mesh that can't fit its model*pipe factors fails loudly
+    with pytest.raises(ValueError, match="at least n_model"):
+        make_mesh(n_model=4, n_pipe=4, devices=jax.devices()[:8])
+
+
+def test_pipeline_chunked_vision():
+    """>chunk_instances batches run as sequential whole-video chunks;
+    with pipe, each chunk must stay a microbatch multiple — pooled
+    outputs must match the unchunked pipelined forward."""
+    import dataclasses as dc
+    from missm_tpu.models.tower import vision_features
+
+    cfg_t = tiny_tower("video")
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+    pipe = PipeConfig(mesh, n_pipe=2)
+    vis = dc.replace(cfg_t.vision, chunk_instances=8)  # 2 videos/chunk
+    from missm_tpu.models.tower import init_vision_params
+    params = init_vision_params(jax.random.PRNGKey(0), vis)
+    px = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (6, 3, 4, 32, 32)).astype(np.float32))  # 6 videos, 3 chunks
+
+    ref = jax.jit(lambda p, x: vision_features(
+        p, dc.replace(vis, chunk_instances=64), x, pipe=pipe))(params, px)
+    out = jax.jit(lambda p, x: vision_features(p, vis, x, pipe=pipe))(
+        params, px)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_validation():
     """Layer count not divisible by stages / batch not divisible into
     whole-group microbatches fail loudly at trace time."""
