@@ -350,22 +350,36 @@ def _cls_group(num_heads: int, hd: int, N: int, group: int | None):
 
 
 def fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads: int,
-                        group: int | None = None, batch_block: int = 1,
+                        group: int | None = None,
+                        batch_block: int | None = None,
                         interpret: bool = False):
     """Forward attention with K/V pre-split into ([B, 1, D] CLS,
     [B, N-1, D] main) so the kernel's score dots run tile-exact when
     N-1 is a lane multiple (ViT: 257 = 1 + 2x128). Callers produce the
     split at the projection level (two matmuls over x[:, :1] / x[:, 1:])
-    — no [B, N-1, D] slice copies are ever materialized."""
+    — no [B, N-1, D] slice copies are ever materialized.
+
+    Default (group, batch_block): the measured optimum at the ViT-L
+    shape class this kernel exists for (H=16, hd=64, N=257) is a SMALL
+    head group with a DEEP batch block — (2, 16) runs the b64 24-layer
+    pass at 9.5 ms vs 11.0 ms for (16, 1): less VMEM per grid step
+    pipelines the HBM fetches better (scripts/attn_sweep_probe.py;
+    the backward's optimum stays group=8, swept in the same probe)."""
     import math
 
     B, N, D = q.shape
     nm = k_main.shape[1]
     hd = D // num_heads
+    if group is None and batch_block is None:
+        try:
+            group = _cls_group(num_heads, hd, N, 2)  # validated, not forced
+            batch_block = 16
+        except ValueError:
+            group = None  # shape can't take group 2 -> auto selection
     g = _cls_group(num_heads, hd, N, group)
     if g is None:
         raise ValueError("no valid head group for cls-split kernel")
-    bb = math.gcd(B, batch_block)
+    bb = math.gcd(B, batch_block or 1)
     kernel = functools.partial(_attn_kernel_packed_cls, pairs=g // 2,
                                head_dim=hd, scale=hd ** -0.5, batch_block=bb)
     gw = g * hd
