@@ -86,9 +86,10 @@ def _tpu_extras(p: argparse.ArgumentParser):
                    help="pipeline-parallel stages (GPipe over the scanned "
                         "block stack; parallel/pipeline.py). Each stage "
                         "holds layers/stages params + Adam state; "
-                        "activations stream over ICI. Layer counts must "
-                        "divide (ViT-L 24 / text 12: 2, 4, or 6 stages). "
-                        "Math == DP; memory lever for depth, composes with "
+                        "activations stream over ICI. S must divide every "
+                        "pipelined stack's layer count (ViT-L 24 + text "
+                        "12: S in {2, 3, 4, 6, 12}). Math == DP; memory "
+                        "lever for depth, composes with "
                         "--mesh_model/--fsdp")
     p.add_argument("--pipe_microbatches", type=int, default=0,
                    help="microbatches per pipelined call (0 = mesh_pipe, "

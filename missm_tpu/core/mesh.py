@@ -26,20 +26,38 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     only materialized when n_pipe > 1 (pipeline parallelism,
     parallel/pipeline.py), so existing 2-axis meshes are unchanged.
     """
-    devices = list(devices if devices is not None else jax.devices())
+    explicit = devices is not None
+    devices = list(devices if explicit else jax.devices())
     if len(devices) < n_model * n_pipe:
         raise ValueError(
             f"mesh needs at least n_model*n_pipe = {n_model}*{n_pipe} = "
             f"{n_model * n_pipe} devices, have {len(devices)}")
     if n_data is None:
         n_data = len(devices) // (n_model * n_pipe)
+    shape = ((n_data, n_model, n_pipe) if n_pipe > 1
+             else (n_data, n_model))
+    axes = ((DATA_AXIS, MODEL_AXIS, PIPE_AXIS) if n_pipe > 1
+            else (DATA_AXIS, MODEL_AXIS))
+    if not explicit and n_data * n_model * n_pipe == len(devices):
+        # topology-aware placement: on real TPU slices the enumeration
+        # order of jax.devices() does not track ICI adjacency, so a naive
+        # reshape can put a model/pipe pair on non-neighbor chips and
+        # turn every per-block TP all-reduce / pipeline ppermute into a
+        # multi-hop transfer. mesh_utils picks a physical assignment
+        # whose MINOR axes are ICI neighbors (the data axis, carrying one
+        # gradient all-reduce per step, tolerates the longer paths).
+        # Non-TPU platforms fall through to the same row-major reshape.
+        from jax.experimental import mesh_utils
+        try:
+            grid = mesh_utils.create_device_mesh(shape, devices=devices)
+            return Mesh(grid, axes)
+        except Exception:
+            pass  # odd shapes/topologies (or devices without coords,
+            #       e.g. the tunneled single-chip backend): enumeration
+            #       order is always a correct fallback
     if n_data * n_model * n_pipe != len(devices):
         devices = devices[: n_data * n_model * n_pipe]
-    if n_pipe > 1:
-        grid = np.asarray(devices).reshape(n_data, n_model, n_pipe)
-        return Mesh(grid, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
-    grid = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(np.asarray(devices).reshape(shape), axes)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -36,6 +36,16 @@ def test_mesh_truncates_nondivisible_devices():
     assert mesh.shape == {"data": 3, "model": 2}
 
 
+def test_mesh_topology_path_covers_all_devices():
+    """The mesh_utils topology-aware path (taken when no explicit device
+    list is passed and the factors cover all devices) must still place
+    every device exactly once; on CPU it reduces to enumeration order."""
+    mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+    assert mesh.shape == {"data": 2, "model": 2, "pipe": 2}
+    got = {d.id for d in mesh.devices.ravel()}
+    assert got == {d.id for d in jax.devices()}
+
+
 def test_enable_compilation_cache_tmpdir(tmp_path):
     enable_compilation_cache(str(tmp_path / "cache"))
     assert (tmp_path / "cache").is_dir()
