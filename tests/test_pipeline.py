@@ -157,6 +157,43 @@ def test_pipeline_composes_with_tp_and_remat():
                                                 rel=1e-5)
 
 
+def test_pipeline_composes_with_fsdp():
+    """(data=4, pipe=2) with --fsdp: block leaves shard (pipe, ..., data)
+    — stage-local layers AND ZeRO-3 sharding of each stage's shard over
+    the data axis. One train step must match pure DP."""
+    cfg = model_cfg("sum")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch()
+
+    mesh_dp = make_mesh()  # 8 x 1
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh_dp)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    state, m_dp = step(state, shard_batch(data, mesh_dp), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=4, n_model=1, n_pipe=2)
+    c = dataclasses.replace(cfg, pipe=PipeConfig(mesh, n_pipe=2))
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh,
+        fsdp=True, fsdp_min_size=128, pipe=True)
+    w = params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"]["w"]
+    spec = str(w.sharding.spec)
+    assert "pipe" in spec and "data" in spec, w.sharding
+    state, tx = init_train_state(params, c)
+    step = make_train_step(c, tx)
+    state, m_pp = step(state, shard_batch(data, mesh), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+    assert float(m_dp["loss"]) == pytest.approx(float(m_pp["loss"]),
+                                                rel=1e-5)
+    w = state.params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"][
+        "w"]
+    spec = str(w.sharding.spec)
+    assert "pipe" in spec and "data" in spec, (
+        "pipe+fsdp sharding lost through the train step")
+
+
 def test_pipeline_cli_smoke(tmp_path, monkeypatch):
     """`--mesh_pipe 2` drives the full train-then-test CLI path: the mesh
     grows a pipe axis, block params + Adam state shard over it, and the
