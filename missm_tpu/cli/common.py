@@ -163,6 +163,32 @@ def setup_mesh(args):
     return mesh
 
 
+def validate_pipe_batch(args, mesh) -> None:
+    """Train-time --mesh_pipe constraint, checked once the mesh exists:
+    the GLOBAL per-step batch (per-device --batch_size x data axis,
+    after the --grad_accum split) must divide into M whole pipeline
+    microbatches — fail with a clear message instead of a trace-time
+    ValueError deep inside the first jitted step. Call AFTER the
+    per-device -> per-process batch scaling in cli/train.py."""
+    n_pipe = getattr(args, "mesh_pipe", 1)
+    if n_pipe <= 1:
+        return
+    import jax as _jax
+
+    m = getattr(args, "pipe_microbatches", 0) or n_pipe
+    accum = getattr(args, "grad_accum", 1)
+    global_b = args.batch_size * _jax.process_count()
+    per_step = global_b // accum
+    if global_b % accum or per_step % m:
+        raise SystemExit(
+            f"--mesh_pipe {n_pipe}: global batch {global_b} "
+            f"(per-device --batch_size x data axis)"
+            + (f" / --grad_accum {accum}" if accum > 1 else "")
+            + f" = {per_step} rows per step is not divisible into {m} "
+              f"pipeline microbatches"
+            + (f" (--pipe_microbatches {m})" if m != n_pipe else ""))
+
+
 def round_eval_batch(args, mesh) -> int:
     """Round the (global) eval batch up so every static step shape is
     valid: a multiple of the data axis (even GSPMD batch sharding) and,

@@ -20,7 +20,7 @@ from ..train.checkpoint import restore_checkpoint
 from ..train.loop import train_loop
 from .common import (FORCE_TRAIN_MISSING, build_model_config, init_params,
                      make_device_put, make_loader_fns, make_tokenizer,
-                     setup_mesh)
+                     setup_mesh, validate_pipe_batch)
 
 
 def main(argv=None):
@@ -49,6 +49,7 @@ def main(argv=None):
     # (train_ddp.py:38); the global batch is bs x data-axis size.
     n_data = mesh.shape["data"]
     args.batch_size = args.batch_size * (n_data // jax.process_count())
+    validate_pipe_batch(args, mesh)
 
     tokenizer = make_tokenizer(args)
     media_loaders = make_loader_fns(args)

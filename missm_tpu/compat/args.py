@@ -238,22 +238,12 @@ def _finalize(parser: argparse.ArgumentParser, argv, train: bool = False):
         parser.error(f"--pipe_microbatches {mb} < --mesh_pipe {n_pipe}: "
                      f"fewer microbatches than stages leaves stages idle "
                      f"every tick (minimum is one per stage)")
-    if n_pipe > 1 and train:
-        # the GPipe schedule splits each TRAIN step's batch (after the
-        # grad-accum split) into M whole microbatches; catch the
-        # divisibility failure at the parser instead of deep inside the
-        # first jitted train-step trace. Eval entry points (no
-        # --grad_accum) instead round their batch up via
-        # cli.common.round_eval_batch, since eval pads partial batches.
-        m = mb or n_pipe
-        per_step = args.batch_size // accum
-        if per_step % m:
-            parser.error(
-                f"--batch_size {args.batch_size}"
-                + (f" / --grad_accum {accum}" if accum > 1 else "")
-                + f" = {per_step} rows per step is not divisible into "
-                  f"{m} pipeline microbatches (--mesh_pipe {n_pipe}"
-                + (f", --pipe_microbatches {mb}" if mb else "") + ")")
+    # NOTE: the train-time pipeline divisibility constraint (the GLOBAL
+    # per-step batch must split into M whole microbatches) depends on the
+    # data-axis size, which is unknown at parse time — --batch_size is
+    # per-device (train_ddp.py:38). cli.common.validate_pipe_batch checks
+    # it right after the mesh is built; eval entry points instead round
+    # their batch up via round_eval_batch (eval pads partial batches).
     remat = getattr(args, "remat", None)
     if isinstance(remat, tuple):
         # policy VALUES are validated at parse time; keys can only be

@@ -51,10 +51,19 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
         try:
             grid = mesh_utils.create_device_mesh(shape, devices=devices)
             return Mesh(grid, axes)
-        except Exception:
-            pass  # odd shapes/topologies (or devices without coords,
-            #       e.g. the tunneled single-chip backend): enumeration
-            #       order is always a correct fallback
+        except Exception as e:  # noqa: BLE001 — fallback is always correct
+            # odd shapes/topologies (or devices without coords, e.g. the
+            # tunneled single-chip backend): enumeration order is a
+            # correct fallback, but on a real multi-chip slice it can put
+            # model/pipe partners on non-neighbor chips — say so instead
+            # of silently eating a perf cliff
+            if len(devices) > 1 and (n_model > 1 or n_pipe > 1):
+                import warnings
+                warnings.warn(
+                    f"topology-aware mesh placement failed ({e!r}); "
+                    f"falling back to device enumeration order — "
+                    f"model/pipe collectives may cross non-neighbor "
+                    f"chips", stacklevel=2)
     if n_data * n_model * n_pipe != len(devices):
         devices = devices[: n_data * n_model * n_pipe]
     return Mesh(np.asarray(devices).reshape(shape), axes)

@@ -373,7 +373,18 @@ def fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads: int,
     if group is None and batch_block is None:
         try:
             group = _cls_group(num_heads, hd, N, 2)  # validated, not forced
+            # _fwd_budget models the score block per head group but
+            # assumes one batch row; scale bb down until the bb-scaled
+            # q/km/vm/out I/O blocks also fit (double-buffered) next to
+            # the scores — at the measured ViT-L shape (N=257) bb=16
+            # passes untouched, at larger cls-split shapes this degrades
+            # gracefully instead of handing Mosaic an over-VMEM block.
+            io_bytes_per_row = 4 * N * group * hd * q.dtype.itemsize
             batch_block = 16
+            while batch_block > 1 and (
+                    group * N * N * 4 + 2 * batch_block * io_bytes_per_row
+                    > 10 * 1024 * 1024):
+                batch_block //= 2
         except ValueError:
             group = None  # shape can't take group 2 -> auto selection
     g = _cls_group(num_heads, hd, N, group)

@@ -107,7 +107,10 @@ def model_forward(params, cfg: ModelConfig, data: Mapping, missing_index, *,
 
 
 def embed_only(params, cfg: ModelConfig, data: Mapping):
-    """Encoder-only pass (the statistics pass of test.py:98-115)."""
+    """Encoder-only pass (the statistics pass of test.py:98-115). Threads
+    cfg.pipe like model_forward: under --mesh_pipe the block params are
+    stage-sharded, and an unpipelined scan would make GSPMD all-gather
+    every stage's layers onto every device."""
     data = _dequantize_tree(data, jnp.float32)
     return encode(params["encoder"], cfg.tower_dict, data,
-                  use_temp=cfg.use_temp)
+                  use_temp=cfg.use_temp, pipe=cfg.pipe)

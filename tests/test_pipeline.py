@@ -157,6 +157,27 @@ def test_pipeline_composes_with_tp_and_remat():
                                                 rel=1e-5)
 
 
+def test_pipeline_embed_only():
+    """embed_only (the test-CLI statistics pass) must run the pipelined
+    schedule too: with stage-sharded block params an unpipelined scan
+    would all-gather every stage's layers onto every device."""
+    from missm_tpu.models.finetune import embed_only
+
+    cfg = model_cfg()
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, _, _ = batch()
+    ref = jax.jit(lambda p, d: embed_only(p, cfg, d))(params, data)
+
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=2)
+    cfg_pp = dataclasses.replace(cfg, pipe=PipeConfig(mesh, n_pipe=2))
+    pp = partition_params(params, mesh, pipe=True)
+    out = jax.jit(lambda p, d: embed_only(p, cfg_pp, d))(
+        pp, shard_batch(data, mesh))
+    for m in ref:
+        np.testing.assert_allclose(np.asarray(ref[m]), np.asarray(out[m]),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_composes_with_fsdp():
     """(data=4, pipe=2) with --fsdp: block leaves shard (pipe, ..., data)
     — stage-local layers AND ZeRO-3 sharding of each stage's shard over
@@ -232,19 +253,33 @@ def test_pipeline_flag_validation():
     from missm_tpu.compat.args import train_args, test_args
     from missm_tpu.cli.common import round_eval_batch
 
+    from missm_tpu.cli.common import validate_pipe_batch
+
     base = ["--datasetName", "mvsa", "--csv_path", "x.csv",
             "--modality_types", "language", "image",
             "--fusion_type", "sum"]
-    with pytest.raises(SystemExit):
-        # 3 rows per step can't split into 2 microbatches
-        train_args(base + ["--batch_size", "3", "--mesh_pipe", "2"])
-    with pytest.raises(SystemExit):
-        # accum split leaves 1 row per step vs 2 microbatches
-        train_args(base + ["--batch_size", "4", "--grad_accum", "4",
-                           "--mesh_pipe", "2"])
     args = train_args(base + ["--batch_size", "8", "--grad_accum", "2",
                               "--mesh_pipe", "2"])
     assert args.mesh_pipe == 2
+
+    # the train-time divisibility constraint is on the GLOBAL per-step
+    # batch (--batch_size is per-device), so it checks post-mesh
+    mesh = make_mesh(n_data=4, n_model=1, n_pipe=2)
+    # per-device bs=1 -> global 4, M=2: fine (the parser must NOT reject
+    # small per-device batches — that's exactly the --mesh_pipe regime)
+    args.batch_size = 1 * 4  # cli/train.py's per-device -> global scaling
+    args.grad_accum = 1
+    validate_pipe_batch(args, mesh)
+    # global 4 / accum 4 = 1 row per step vs 2 microbatches -> loud error
+    args.grad_accum = 4
+    with pytest.raises(SystemExit, match="microbatches"):
+        validate_pipe_batch(args, mesh)
+    # odd global batch vs 4 microbatches -> loud error
+    args.grad_accum = 1
+    args.pipe_microbatches = 4
+    args.batch_size = 6
+    with pytest.raises(SystemExit, match="microbatches"):
+        validate_pipe_batch(args, mesh)
 
     # eval: odd batch + pipe rounds up to lcm(data, microbatches)
     ev = test_args(base + ["--test_types", "sum", "--batch_size", "3",
