@@ -157,6 +157,37 @@ def test_pipeline_composes_with_tp_and_remat():
                                                 rel=1e-5)
 
 
+def test_pipeline_four_stages():
+    """S=4 with a deeper (8-layer) tower: multi-hop ppermute rotation,
+    3-tick bubble, and M > S microbatches — forward parity vs the plain
+    scan (the S=2 tests can't distinguish 'next stage' from 'the other
+    stage')."""
+    t = tiny_tower("image", num_layers=8)
+    t = dataclasses.replace(t, text=dataclasses.replace(t.text,
+                                                        num_layers=8))
+    towers = (("image", t),)
+    fusion = FusionConfig(fusion_type="sum",
+                          modality_types=("language", "image"),
+                          output_dims=NUM_CLASSES, feature_dims=24,
+                          fusion_dim=8)
+    cfg = ModelConfig(towers=towers, fusion=fusion)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch()
+    data = {k: data[k] for k in ("language", "image")}
+
+    ref, _ = jax.jit(lambda p, d, m: model_forward(p, cfg, d, m))(
+        params, data, missing)
+
+    mesh = make_mesh(n_data=2, n_model=1, n_pipe=4)
+    cfg_pp = dataclasses.replace(
+        cfg, pipe=PipeConfig(mesh, n_pipe=4, microbatches=8))
+    pp = partition_params(params, mesh, pipe=True)
+    out, _ = jax.jit(lambda p, d, m: model_forward(p, cfg_pp, d, m))(
+        pp, shard_batch(data, mesh), missing)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_pipeline_embed_only():
     """embed_only (the test-CLI statistics pass) must run the pipelined
     schedule too: with stage-sharded block params an unpipelined scan
