@@ -17,7 +17,10 @@ def test_dryrun_layouts():
     layouts = ge._dryrun_layouts(8)
     assert (8, 1, 1, False) in layouts and (8, 1, 1, True) in layouts
     assert (4, 2, 1, False) in layouts and (4, 1, 2, False) in layouts
+    assert (2, 2, 2, False) in layouts  # full 3-axis composition
     assert all(d * m * p <= 8 for d, m, p, _ in layouts)
+    # 4 devices: 2-way TP/pipe splits but no 3-axis (needs >= 8)
+    assert all(p == 1 or m == 1 for _, m, p, _ in ge._dryrun_layouts(4))
     # 2 devices: no TP/pipe splits (needs >= 4)
     assert ge._dryrun_layouts(2) == [(2, 1, 1, False), (2, 1, 1, True)]
 
