@@ -46,7 +46,8 @@ class BatchLoader:
     def __init__(self, dataset: MMDataset, batch_size: int, tokenizer=None,
                  media_loaders: Optional[Dict[str, Callable]] = None,
                  shuffle: bool = True, seed: int = 0, num_shards: int = 1,
-                 shard_index: int = 0, drop_last: bool = False):
+                 shard_index: int = 0, drop_last: bool = False,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -56,7 +57,9 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = drop_last
+        self.num_workers = num_workers
         self.epoch = 0
+        self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -86,6 +89,27 @@ class BatchLoader:
             if p % self.num_shards == self.shard_index)
         return idx
 
+    def _decode_map(self, loader: Callable, column):
+        """Per-item media decode, fanned over `num_workers` threads.
+
+        The reference parses --num_workers but never wires it into its
+        DataLoader (data_loader.py:312), so it decodes single-threaded;
+        here the C++ ingest (ctypes releases the GIL, per-call state
+        only) decodes a batch's files genuinely in parallel. Ordered-rng
+        loaders (reference_randomness parity runs, which consume a
+        shared sequential Generator) stay on the calling thread so the
+        draw order is worker-count-invariant.
+        """
+        if self.num_workers <= 1 or len(column) <= 1 or getattr(
+                loader, "ordered_rng", False):
+            return [np.asarray(loader(x)) for x in column]
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                self.num_workers, thread_name_prefix="missm-decode")
+        return list(self._pool.map(lambda x: np.asarray(loader(x)),
+                                   column))
+
     def _collate(self, items):
         raws, labels, codes = zip(*items)
         data = {}
@@ -96,8 +120,8 @@ class BatchLoader:
                     raise ValueError("language modality needs a tokenizer")
                 data[m] = self.tokenizer(list(column))
             else:
-                loader = self.media_loaders[m]
-                data[m] = np.stack([np.asarray(loader(x)) for x in column])
+                data[m] = np.stack(
+                    self._decode_map(self.media_loaders[m], column))
         return (data, np.asarray(labels, np.int32),
                 np.asarray(codes, np.int32))
 
@@ -134,9 +158,10 @@ def training_loader(args, csv_path: str, tokenizer, media_loaders,
     val_data = MMDataset(spec, valid_df, data_path,
                          labels[df["mode"] == "valid"], "val", False)
 
+    nw = getattr(args, "num_workers", 0)
     mk = lambda ds: BatchLoader(ds, args.batch_size, tokenizer, media_loaders,
                                 shuffle=True, num_shards=num_shards,
-                                shard_index=shard_index)
+                                shard_index=shard_index, num_workers=nw)
     return mk(train_data), mk(val_data), num_classes
 
 
@@ -160,7 +185,8 @@ def testing_loader(args, csv_path: str, tokenizer, media_loaders,
                            labels[df["mode"] == "train"], "train", False,
                            retrieval=args.fusion_type == "retrieval")
     mk = lambda ds: BatchLoader(ds, args.batch_size, tokenizer, media_loaders,
-                                shuffle=False)
+                                shuffle=False,
+                                num_workers=getattr(args, "num_workers", 0))
     test_loader: Dict[str, Dict[float, BatchLoader]] = {}
     for modal in args.test_missing_type:
         per_ratio = {}

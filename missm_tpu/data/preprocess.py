@@ -189,4 +189,9 @@ def make_media_loaders(tower_cfgs: Dict[str, TowerConfig],
         elif m == "audio":
             out[m] = make_audio_loader(cfg, reference_randomness=
                                        reference_randomness, rng=rng)
+        if m in ("video", "audio") and reference_randomness:
+            # these draw from a SHARED sequential np.random.Generator —
+            # parity runs depend on the draw order, so BatchLoader must
+            # not fan their decode out across worker threads
+            out[m].ordered_rng = True  # type: ignore[attr-defined]
     return out

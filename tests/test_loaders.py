@@ -85,6 +85,74 @@ def test_retrieval_substitution(mvsa):
         assert code == 0
 
 
+def _thread_recording_loader(record):
+    import threading
+
+    def load(x):
+        record.append(threading.current_thread().name)
+        return synthetic_image_loader()(x)
+    return load
+
+
+def test_num_workers_decode_parity(mvsa):
+    """num_workers>1 fans the per-batch decode over a thread pool; the
+    batches must be identical to the sequential path (decode is pure)."""
+    args = Args()
+    seq_calls, pool_calls = [], []
+    tl0, _, _ = make_training_loader(
+        args, mvsa, HashTokenizer(99, 16),
+        {"image": _thread_recording_loader(seq_calls)})
+    args4 = Args(num_workers=4)
+    tl4, _, _ = make_training_loader(
+        args4, mvsa, HashTokenizer(99, 16),
+        {"image": _thread_recording_loader(pool_calls)})
+    for (d0, l0, m0), (d4, l4, m4) in zip(iter(tl0), iter(tl4)):
+        np.testing.assert_array_equal(d0["image"], d4["image"])
+        np.testing.assert_array_equal(d0["language"]["input_ids"],
+                                      d4["language"]["input_ids"])
+        np.testing.assert_array_equal(l0, l4)
+        np.testing.assert_array_equal(m0, m4)
+    assert all("missm-decode" not in n for n in seq_calls)
+    assert any("missm-decode" in n for n in pool_calls)
+
+
+def test_ordered_rng_loader_stays_sequential(mvsa):
+    """Loaders tagged ordered_rng (reference_randomness parity runs draw
+    from a shared sequential Generator) must decode on the calling
+    thread even when num_workers is set."""
+    calls = []
+    loader = _thread_recording_loader(calls)
+    loader.ordered_rng = True
+    args = Args(num_workers=4)
+    tl, _, _ = make_training_loader(args, mvsa, HashTokenizer(99, 16),
+                                    {"image": loader})
+    next(iter(tl))
+    assert calls and all("missm-decode" not in n for n in calls)
+
+
+def test_num_workers_decode_error_propagates(mvsa):
+    def boom(x):
+        raise ValueError("decode failed")
+    args = Args(num_workers=2)
+    tl, _, _ = make_training_loader(args, mvsa, HashTokenizer(99, 16),
+                                    {"image": boom})
+    with pytest.raises(ValueError, match="decode failed"):
+        next(iter(tl))
+
+
+def test_reference_randomness_tags_rng_loaders():
+    from missm_tpu.core.config import tiny_tower
+    from missm_tpu.data.preprocess import make_media_loaders
+    cfgs = {"video": tiny_tower("video"), "audio": tiny_tower("audio"),
+            "image": tiny_tower("image")}
+    tagged = make_media_loaders(cfgs, reference_randomness=True)
+    assert getattr(tagged["video"], "ordered_rng", False)
+    assert getattr(tagged["audio"], "ordered_rng", False)
+    assert not getattr(tagged["image"], "ordered_rng", False)
+    plain = make_media_loaders(cfgs, reference_randomness=False)
+    assert not getattr(plain["video"], "ordered_rng", False)
+
+
 def test_shard_split_covers_all():
     spec = DATASET_SPECS["mvsa"]
     import pandas as pd
