@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..eval.sweep import _pad_batch, evaluate_metrics
 from ..models.finetune import ModelConfig
 from ..utils.prefetch import prefetch
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import AsyncSaver, restore_checkpoint, save_checkpoint
 from .plateau import plateau_init, plateau_update
 from .step import init_train_state, make_eval_step, make_train_step
 
@@ -77,6 +77,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     eval_fn = make_eval_step(cfg)
 
     plateau = plateau_init()
+    saver = AsyncSaver()
     best_metric = 0.0
     best_epoch = -1
     bad_epochs = 0
@@ -181,7 +182,9 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             best_epoch = epoch
             bad_epochs = 0
             if save_dir:
-                save_checkpoint(
+                # async: the device->host gather happens here, the disk
+                # write overlaps the next epoch's training
+                saver.save(
                     os.path.join(save_dir, "best_model"),
                     {"params": state.params, "opt_state": state.opt_state},
                     metadata={"epoch": epoch, "val_metrics": val,
@@ -193,6 +196,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             log(f"Early stopping after {epoch + 1} epochs.")
             break
 
+    saver.wait()  # the last best-model write must land before restoring
     restored = bool(save_dir) and best_epoch >= 0
     log(f"Loading best model from epoch {best_epoch}" if save_dir
         else "Keeping final-epoch params (no save_dir to restore best from)")

@@ -58,3 +58,52 @@ def test_resume_from_best_checkpoint(tmp_path):
     state2, m = step2(state2, data, labels, missing, 1e-3,
                       jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_async_saver_roundtrip_and_order(tmp_path):
+    """AsyncSaver: the write lands by wait(), a newer save for the same
+    path joins the previous write first, and restore sees the LAST tree."""
+    from missm_tpu.train.checkpoint import AsyncSaver, restore_checkpoint
+
+    path = str(tmp_path / "ckpt")
+    saver = AsyncSaver()
+    t1 = {"w": np.arange(8, dtype=np.float32)}
+    t2 = {"w": np.arange(8, dtype=np.float32) * 3.0}
+    saver.save(path, t1, metadata={"epoch": 0})
+    saver.save(path, t2, metadata={"epoch": 1})
+    saver.wait()
+    tree, meta = restore_checkpoint(path)
+    np.testing.assert_array_equal(tree["w"], t2["w"])
+    assert meta["epoch"] == 1
+
+
+def test_async_saver_error_surfaces(tmp_path, monkeypatch):
+    """A failed background write re-raises at the next wait(), not
+    silently (a lost best-checkpoint must not look like a saved one)."""
+    from missm_tpu.train import checkpoint as ck
+
+    def boom(path, host_tree, metadata):
+        raise OSError("disk full")
+    monkeypatch.setattr(ck, "_write", boom)
+    saver = ck.AsyncSaver()
+    saver.save(str(tmp_path / "x"), {"w": np.zeros(2)})
+    with pytest.raises(OSError, match="disk full"):
+        saver.wait()
+    # the error is consumed: the saver is reusable afterwards
+    saver.wait()
+
+
+def test_async_saver_snapshot_precedes_mutation(tmp_path):
+    """save() materializes on host before returning: mutating the source
+    arrays afterwards must not change what lands on disk (the donated
+    train step invalidates device buffers the same way)."""
+    from missm_tpu.train.checkpoint import AsyncSaver, restore_checkpoint
+
+    path = str(tmp_path / "snap")
+    src = {"w": np.ones(4, dtype=np.float32)}
+    saver = AsyncSaver()
+    saver.save(path, src)
+    src["w"] *= 100.0
+    saver.wait()
+    tree, _ = restore_checkpoint(path)
+    np.testing.assert_array_equal(tree["w"], np.ones(4, dtype=np.float32))
