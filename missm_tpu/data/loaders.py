@@ -14,12 +14,32 @@ available.
 from __future__ import annotations
 
 import math
+import threading
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
 from .datasets import DATASET_SPECS, MMDataset, encode_labels
 from .missing import MISSING_RATIOS, load_missing_index
+
+# one decode pool per worker count, shared across BatchLoaders: the test
+# sweep builds ~31 loaders (3 missing types x 10 ratios + train) and
+# per-loader pools would pin hundreds of idle threads for the process
+# lifetime. ThreadPoolExecutor.map is thread-safe, so the prefetch
+# thread and the main thread can share one pool.
+_POOLS: Dict[int, object] = {}
+_POOLS_LOCK = threading.Lock()
+
+
+def _decode_pool(num_workers: int):
+    with _POOLS_LOCK:
+        pool = _POOLS.get(num_workers)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(num_workers,
+                                      thread_name_prefix="missm-decode")
+            _POOLS[num_workers] = pool
+        return pool
 
 
 def epoch_order(n: int, shuffle: bool, seed: int = 0,
@@ -59,7 +79,6 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.epoch = 0
-        self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -103,12 +122,8 @@ class BatchLoader:
         if self.num_workers <= 1 or len(column) <= 1 or getattr(
                 loader, "ordered_rng", False):
             return [np.asarray(loader(x)) for x in column]
-        if self._pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(
-                self.num_workers, thread_name_prefix="missm-decode")
-        return list(self._pool.map(lambda x: np.asarray(loader(x)),
-                                   column))
+        pool = _decode_pool(self.num_workers)
+        return list(pool.map(lambda x: np.asarray(loader(x)), column))
 
     def _collate(self, items):
         raws, labels, codes = zip(*items)

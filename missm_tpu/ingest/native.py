@@ -18,12 +18,19 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+# first-call init must be race-free: BatchLoader fans decode over a
+# thread pool (--num_workers), so several threads can hit _load()
+# concurrently on the first batch — without the lock one thread could
+# observe _TRIED=True while _LIB is still mid-setup and silently take
+# the Python fallback for its samples (mixed-path batches).
+_LOAD_LOCK = threading.Lock()
 
 
 def _find_lib() -> Optional[str]:
@@ -42,9 +49,17 @@ def _find_lib() -> Optional[str]:
 
 def _load():
     global _LIB, _TRIED
-    if _TRIED:
+    if _TRIED:  # lock-free fast path: _LIB is published BEFORE _TRIED
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if _TRIED:
+            return _LIB
+        _LIB = _load_locked()
+        _TRIED = True
+        return _LIB
+
+
+def _load_locked():
     path = _find_lib()
     if path is None:
         return None
@@ -104,13 +119,12 @@ def _load():
             f32p, ctypes.c_int, ctypes.c_int,
             f32p, i32p, ctypes.c_int, ctypes.c_int,
             f32p, i32p, ctypes.c_int, ctypes.c_int, f32p]
-        _LIB = lib
+        return lib
     except (OSError, AttributeError):
         # OSError: no .so / unloadable. AttributeError: a stale prebuilt
         # .so missing a newer symbol (the .so is gitignored — users who
         # pull without `make -C cpp` must fall back, not crash).
-        _LIB = None
-    return _LIB
+        return None
 
 
 def available() -> bool:

@@ -36,21 +36,49 @@ def _host_value(x):
     return np.asarray(x)
 
 
+_SWAP_COUNTER = [0]
+
+
 def _write(path: str, host_tree: Any, metadata: Optional[dict]):
     """The slow part: orbax serialization + disk. `host_tree` must already
-    be host numpy arrays (see AsyncSaver for why)."""
+    be host numpy arrays (see AsyncSaver for why).
+
+    Crash-safe: serializes into `path + ".tmp"` and atomically swaps it
+    in only once complete, so a process dying mid-write (OOM, preemption,
+    an exception unwinding past an in-flight AsyncSaver write) can never
+    destroy the previous checkpoint at `path` — an orbax force=True save
+    directly onto `path` deletes the old artifact before the new one is
+    durable."""
     ocp = _ocp()
     path = os.path.abspath(path)
+    tmp, old = path + ".tmp", path + ".old"
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, host_tree, force=True)
+    ckptr.save(tmp, host_tree, force=True)
     # the orbax save is collective (every process calls it; the primary
-    # host writes), but this JSON write is a plain file op — only the
-    # primary writes it, or concurrent hosts could interleave/truncate
-    # it on a shared filesystem (reference: rank-0-only torch.save,
+    # host writes), but these file ops are plain — only the primary
+    # runs them, or concurrent hosts could interleave/truncate on a
+    # shared filesystem (reference: rank-0-only torch.save,
     # train_ddp.py:300-306).
-    if metadata is not None and jax.process_index() == 0:
-        with open(os.path.join(path, "missm_meta.json"), "w") as f:
-            json.dump(metadata, f, default=str)
+    if jax.process_index() == 0:
+        if metadata is not None:
+            with open(os.path.join(tmp, "missm_meta.json"), "w") as f:
+                json.dump(metadata, f, default=str)
+        import shutil
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(path):
+            os.rename(path, old)  # keep the previous best until the
+        os.rename(tmp, path)      # new one is in place
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    if jax.process_count() > 1:
+        # non-primary hosts must not restore `path` before the swap
+        # lands; out-of-band KV barrier (same channel orbax's own save
+        # barrier uses — NOT an XLA collective)
+        from jax.experimental import multihost_utils
+        _SWAP_COUNTER[0] += 1
+        multihost_utils.sync_global_devices(
+            f"missm_ckpt_swap_{_SWAP_COUNTER[0]}")
 
 
 def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
@@ -71,18 +99,37 @@ class AsyncSaver:
     write is in flight: a newer save joins the previous first
     (same-path writes must not interleave), and errors surface at the
     next save()/wait().
+
+    Crash semantics: _write serializes to a temp dir and atomically
+    swaps, so a process dying with a write in flight (the train loop
+    raising before it reaches wait(), preemption, OOM) loses at most
+    the NEW best — the previous checkpoint at `path` stays intact,
+    exactly as if the crash had happened a moment before save(). The
+    thread is daemon: a non-daemon thread cannot finish an orbax write
+    that STARTS during interpreter shutdown anyway (executor creation
+    is refused), and joining a multihost save barrier at exit could
+    hang a crashed run.
     """
 
     def __init__(self):
         self._thread = None
         self._err: Optional[BaseException] = None
 
+    @staticmethod
+    def _snapshot(x):
+        # _host_value can ALIAS the source buffer (numpy leaves; XLA:CPU
+        # buffers) and a donated train step reuses it while the write is
+        # still in flight — snapshot those by copy. Non-CPU jax.Arrays
+        # already paid a device->host transfer into fresh memory; don't
+        # memcpy a multi-GB param tree a second time on the train path.
+        h = _host_value(x)
+        if isinstance(x, jax.Array) and all(
+                d.platform != "cpu" for d in x.devices()):
+            return h
+        return np.array(h)
+
     def save(self, path: str, tree: Any, metadata: Optional[dict] = None):
-        # np.array (not asarray): _host_value can ALIAS the source buffer
-        # (numpy leaves; XLA:CPU buffers) and a donated train step reuses
-        # it while the write is still in flight — snapshot by copy
-        host_tree = jax.tree_util.tree_map(
-            lambda x: np.array(_host_value(x)), tree)
+        host_tree = jax.tree_util.tree_map(self._snapshot, tree)
         self.wait()
 
         def work():
@@ -92,6 +139,8 @@ class AsyncSaver:
                 self._err = e
 
         import threading
+        # daemon: see class docstring (crash-safety comes from the
+        # atomic swap in _write, not from draining the thread at exit)
         self._thread = threading.Thread(target=work, daemon=True,
                                         name="missm-ckpt-save")
         self._thread.start()
@@ -111,6 +160,10 @@ def restore_checkpoint(path: str, like: Any = None):
     """Restore (tree, metadata). `like` provides the target structure."""
     ocp = _ocp()
     path = os.path.abspath(path)
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        # a crash between _write's two renames leaves only the
+        # demoted-but-complete previous checkpoint — recover from it
+        path = path + ".old"
     ckptr = ocp.PyTreeCheckpointer()
     tree = ckptr.restore(path)
     if like is not None:

@@ -125,3 +125,33 @@ def test_resample_preserves_tone():
     peak_hz = np.argmax(spec) * sr_out / len(mid)
     assert abs(peak_hz - 440) < 5
     assert 0.9 < mid.max() < 1.1
+
+
+def test_native_load_first_call_thread_safe():
+    """BatchLoader fans first-batch decode over --num_workers threads;
+    every thread racing _load() must observe the SAME availability (one
+    thread seeing False while another loads the library would silently
+    mix native and Python decode paths within a batch)."""
+    import threading
+
+    from missm_tpu.ingest import native
+
+    tried, lib = native._TRIED, native._LIB
+    try:
+        native._TRIED, native._LIB = False, None
+        n = 8
+        barrier = threading.Barrier(n)
+        results = []
+
+        def go():
+            barrier.wait()
+            results.append(native.available())
+
+        threads = [threading.Thread(target=go) for _ in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == n and len(set(results)) == 1
+    finally:
+        native._TRIED, native._LIB = tried, lib

@@ -6,6 +6,7 @@ The reference has no pipeline parallelism (DDP only, train_ddp.py:145,189);
 this is a TPU-native scaling extra — the tests pin that it is a pure
 schedule change (identical numerics to the plain scan)."""
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -157,11 +158,14 @@ def test_pipeline_composes_with_tp_and_remat():
                                                 rel=1e-5)
 
 
-def test_pipeline_four_stages():
+def _four_stage_parity_body():
     """S=4 with a deeper (8-layer) tower: multi-hop ppermute rotation,
     3-tick bubble, and M > S microbatches — forward parity vs the plain
     scan (the S=2 tests can't distinguish 'next stage' from 'the other
     stage')."""
+    from missm_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()  # retried child recompiles for free
+
     t = tiny_tower("image", num_layers=8)
     t = dataclasses.replace(t, text=dataclasses.replace(t.text,
                                                         num_layers=8))
@@ -186,6 +190,42 @@ def test_pipeline_four_stages():
         pp, shard_batch(data, mesh), missing)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=1e-5, rtol=1e-5)
+    print("FOUR-STAGE OK")
+
+
+def test_pipeline_four_stages():
+    """Runs _four_stage_parity_body in a retried CHILD process: this is
+    the most collective-dense pipe program in the suite (two independent
+    8-layer pipelined stacks, 4-hop ppermute rotation), exactly the shape
+    XLA:CPU's dataflow-ordered thunk executor can interlock into a
+    rendezvous deadlock that CHECK-aborts the whole process (CLAUDE.md;
+    TPU executes collectives program-ordered and is immune). A child
+    bounds the hazard to one test; only the known deadlock signature
+    retries — real failures surface on the first attempt."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; sys.path.insert(0, %r); "
+            "from tests.test_pipeline import _four_stage_parity_body; "
+            "_four_stage_parity_body()" % repo)
+    for attempt in range(3):
+        try:
+            r = subprocess.run([sys.executable, "-c", prog],
+                               capture_output=True, text=True, timeout=480)
+            out = r.stdout + r.stderr
+            rc = r.returncode
+        except subprocess.TimeoutExpired as e:
+            out = "Termination timeout (child hung): " + str(e)
+            rc = -1
+        if rc == 0 and "FOUR-STAGE OK" in out:
+            return
+        deadlock = "rendezvous" in out or "Termination timeout" in out
+        if not deadlock or attempt == 2:
+            raise AssertionError(
+                f"four-stage pipeline child failed (attempt {attempt + 1}):"
+                f"\n{out[-4000:]}")
 
 
 def test_pipeline_embed_only():

@@ -1,6 +1,8 @@
 """Plateau scheduler semantics (torch ReduceLROnPlateau parity) and
 checkpoint-based mid-run resume (an improvement over the reference, which
 restarts training from scratch — SURVEY §5)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -91,6 +93,40 @@ def test_async_saver_error_surfaces(tmp_path, monkeypatch):
         saver.wait()
     # the error is consumed: the saver is reusable afterwards
     saver.wait()
+
+
+def test_checkpoint_crash_preserves_previous_best(tmp_path):
+    """A process dying with an AsyncSaver write in flight (the train
+    loop raising before it reaches wait()) must not lose the PREVIOUS
+    best: _write serializes to a temp dir and atomically swaps, where a
+    force=True save directly onto `path` deletes the old artifact
+    before the new one is durable. The child saves epoch 0, waits, then
+    starts the epoch-1 save and exits immediately — the parent must
+    restore a complete checkpoint (epoch 1 if the write won the race,
+    epoch 0 if it died mid-write; never a corrupt or missing one)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "crash_ckpt")
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.path.insert(0, %r); "
+        "import numpy as np; "
+        "from missm_tpu.train.checkpoint import AsyncSaver; "
+        "s = AsyncSaver(); "
+        "s.save(%r, {'w': np.zeros(6)}, metadata={'epoch': 0}); "
+        "s.wait(); "
+        "s.save(%r, {'w': np.ones(6)}, metadata={'epoch': 1}); "
+        "raise SystemExit(7)" % (repo, path, path))
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=240)
+    assert r.returncode == 7, r.stderr[-2000:]
+    from missm_tpu.train.checkpoint import restore_checkpoint
+    tree, meta = restore_checkpoint(path)
+    assert meta["epoch"] in (0, 1)
+    np.testing.assert_array_equal(
+        tree["w"], np.full(6, float(meta["epoch"])))
 
 
 def test_async_saver_snapshot_precedes_mutation(tmp_path):
