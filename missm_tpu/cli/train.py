@@ -86,6 +86,17 @@ def main(argv=None):
         except ImportError:
             pass
 
+    resume_from = getattr(args, "resume", None)
+    if resume_from == "auto":
+        # pick up a prior run's resume point when one exists (the
+        # preemption-restart idiom: the SAME command line works for the
+        # first launch and every restart)
+        cand = os.path.join(save_path, "last")
+        resume_from = cand if os.path.isdir(cand) else None
+        if resume_from is None:
+            print("--resume auto: no checkpoint at "
+                  f"{cand} — starting fresh")
+
     best_params, history = train_loop(
         params, cfg, train_loader_, valid_loader,
         num_epochs=args.num_epochs, learning_rate=args.learning_rate,
@@ -96,7 +107,9 @@ def main(argv=None):
         device_put=device_put, writer=writer,
         args_metadata={k: v for k, v in vars(args).items()},
         accum_steps=getattr(args, "grad_accum", 1),
-        profile_dir=getattr(args, "profile_dir", None))
+        profile_dir=getattr(args, "profile_dir", None),
+        checkpoint_every=getattr(args, "checkpoint_every", 0),
+        resume_from=resume_from)
 
     if writer is not None:
         writer.close()

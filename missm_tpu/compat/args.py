@@ -128,6 +128,19 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "effective batches beyond HBM train on-chip. "
                         "batch_size must be divisible by N. Not in the "
                         "reference (A100-80GB never needed it)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="write a preemption-safe resume checkpoint "
+                        "(TrainState + loop state) to <save_path>/last "
+                        "every N epochs, asynchronously off the train "
+                        "path (0 = off). Not in the reference (it always "
+                        "restarts from scratch)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume training from a --checkpoint_every "
+                        "checkpoint: a path, or 'auto' to pick up "
+                        "<save_path>/last when it exists (fresh start "
+                        "otherwise) — continuation is exact: same rng "
+                        "stream, plateau scheduler, best/early-stop "
+                        "counters")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of steady-"
                         "state train steps (epoch-0 batches 4-6) to this "
@@ -233,6 +246,9 @@ def _finalize(parser: argparse.ArgumentParser, argv, train: bool = False):
     n_pipe = getattr(args, "mesh_pipe", 1)
     if n_pipe < 1:
         parser.error(f"--mesh_pipe must be >= 1, got {n_pipe}")
+    ck = getattr(args, "checkpoint_every", 0)
+    if ck < 0:
+        parser.error(f"--checkpoint_every must be >= 0, got {ck}")
     mb = getattr(args, "pipe_microbatches", 0)
     if mb and mb < n_pipe:
         parser.error(f"--pipe_microbatches {mb} < --mesh_pipe {n_pipe}: "

@@ -156,16 +156,36 @@ class AsyncSaver:
             raise err
 
 
-def restore_checkpoint(path: str, like: Any = None):
-    """Restore (tree, metadata). `like` provides the target structure."""
-    ocp = _ocp()
+def _resolve_ckpt_dir(path: str) -> str:
     path = os.path.abspath(path)
     if not os.path.isdir(path) and os.path.isdir(path + ".old"):
         # a crash between _write's two renames leaves only the
         # demoted-but-complete previous checkpoint — recover from it
-        path = path + ".old"
+        return path + ".old"
+    return path
+
+
+def read_metadata(path: str) -> Optional[dict]:
+    """The metadata dict saved alongside a checkpoint, without paying
+    for the array restore."""
+    meta_path = os.path.join(_resolve_ckpt_dir(path), "missm_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None
+
+
+def restore_checkpoint(path: str, like: Any = None,
+                       structure: Any = None):
+    """Restore (tree, metadata). `like` conforms leaf dtypes onto a
+    template; `structure` makes orbax rebuild the EXACT pytree structure
+    (custom nodes like optax's ScaleByAdamState namedtuples, which a
+    bare restore flattens into plain dicts/lists)."""
+    ocp = _ocp()
+    path = _resolve_ckpt_dir(path)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(path)
+    tree = (ckptr.restore(path, item=structure) if structure is not None
+            else ckptr.restore(path))
     if like is not None:
         # conform restored leaves onto the template's structure/dtypes
         tree = jax.tree_util.tree_map(

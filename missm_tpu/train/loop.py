@@ -21,9 +21,45 @@ import jax.numpy as jnp
 from ..eval.sweep import _pad_batch, evaluate_metrics
 from ..models.finetune import ModelConfig
 from ..utils.prefetch import prefetch
-from .checkpoint import AsyncSaver, restore_checkpoint, save_checkpoint
-from .plateau import plateau_init, plateau_update
-from .step import init_train_state, make_eval_step, make_train_step
+from .checkpoint import AsyncSaver, read_metadata, restore_checkpoint, \
+    save_checkpoint
+from .plateau import PlateauState, plateau_init, plateau_update
+from .step import TrainState, init_train_state, make_eval_step, \
+    make_train_step
+
+
+def _state_tree(state: TrainState) -> dict:
+    return {"params": state.params, "opt_state": state.opt_state,
+            "teacher_fusion": state.teacher_fusion, "step": state.step}
+
+
+def _conform_leaf(t, x):
+    """Restore-time leaf placement: match the template's dtype AND
+    sharding, so a resumed FSDP/TP run starts from correctly-sharded
+    arrays instead of host numpy the first jitted step would replicate."""
+    x = jnp.asarray(x, getattr(t, "dtype", None))
+    if isinstance(t, jax.Array) and getattr(t, "sharding", None) is not None:
+        x = jax.device_put(x, t.sharding)
+    return x
+
+
+def _restore_loop_state(path: str, state: TrainState):
+    """Restore (TrainState, loop-state dict) from a `checkpoint_every`
+    checkpoint written by train_loop. The freshly-initialized `state`
+    provides structure, dtypes, and shardings."""
+    meta = read_metadata(path)
+    if not meta or "loop" not in meta:
+        raise ValueError(
+            f"checkpoint at {path} has no loop state — only checkpoints "
+            "written by train_loop(checkpoint_every=N) are resumable")
+    # structure= rebuilds the exact pytree (optax namedtuples etc.); a
+    # bare orbax restore flattens custom nodes into plain dicts/lists
+    tree, _ = restore_checkpoint(path, structure=_state_tree(state))
+    tree = jax.tree_util.tree_map(_conform_leaf, _state_tree(state), tree)
+    state = TrainState(params=tree["params"], opt_state=tree["opt_state"],
+                       teacher_fusion=tree["teacher_fusion"],
+                       step=tree["step"])
+    return state, meta["loop"]
 
 
 def _prepared_batches(loader, batch_size, device_put):
@@ -62,9 +98,20 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                writer=None, log: Callable = print,
                args_metadata: Optional[dict] = None,
                sync_every: int = 32, accum_steps: int = 1,
-               profile_dir: Optional[str] = None):
+               profile_dir: Optional[str] = None,
+               checkpoint_every: int = 0,
+               resume_from: Optional[str] = None):
     """Returns (best_params, history). `writer` is an optional TensorBoard
     SummaryWriter-compatible object.
+
+    Preemption safety (beyond the reference, which always restarts from
+    scratch — SURVEY §5 checkpoint/resume): `checkpoint_every=N` writes a
+    full resume checkpoint (TrainState + loop state: plateau scheduler,
+    best/bad-epoch counters, the epoch-end rng key) to `save_dir/last`
+    every N epochs, asynchronously; `resume_from` restores one and
+    continues EXACTLY — same rng stream, same plateau decisions — as if
+    the run had never stopped (the epoch order is a fixed permutation,
+    loaders.epoch_order, so the data stream is position-independent).
 
     The epoch loss is accumulated ON DEVICE and read back once per
     `sync_every` steps (flow control / timing sync; on the tunneled axon
@@ -78,16 +125,35 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
 
     plateau = plateau_init()
     saver = AsyncSaver()
-    best_metric = 0.0
+    last_saver = AsyncSaver()  # separate: a best + a resume write may
+    best_metric = 0.0          # both be in flight (different paths)
     best_epoch = -1
     bad_epochs = 0
     history = []
     rng = jax.random.PRNGKey(seed)
     batch_size = train_loader.batch_size
+    start_epoch = 0
+    if resume_from:
+        state, loop_meta = _restore_loop_state(resume_from, state)
+        start_epoch = int(loop_meta["epoch"]) + 1
+        pl = loop_meta["plateau"]
+        # metadata JSON stringifies non-native scalars (default=str) —
+        # coerce, or plateau comparisons would see strings
+        plateau = PlateauState(best=float(pl["best"]),
+                               num_bad_epochs=int(pl["num_bad_epochs"]),
+                               scale=float(pl["scale"]))
+        best_metric = float(loop_meta["best_metric"])
+        best_epoch = int(loop_meta["best_epoch"])
+        bad_epochs = int(loop_meta["bad_epochs"])
+        history = list(loop_meta.get("history", []))
+        rng = jnp.asarray(loop_meta["rng_key"], jnp.uint32)
+        log(f"Resumed from {resume_from}: continuing at epoch "
+            f"{start_epoch + 1} (best={best_metric:.4f} @ epoch "
+            f"{best_epoch + 1}, lr_scale={plateau.scale:g})")
 
     step_dev_s = None  # calibrated pure device step time (epoch 0)
     profiling = False  # --profile_dir: trace epoch-0 batches 4-6
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
         loss_acc = None  # device-resident running sum — no per-step readback
         n_batches = 0
@@ -192,10 +258,30 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
         else:
             bad_epochs += 1
             log(f"No improvement for {bad_epochs} epochs.")
+        if checkpoint_every and save_dir and (
+                epoch + 1) % checkpoint_every == 0:
+            # preemption-safe resume point: full TrainState + the loop
+            # state a restart needs to continue bit-identically
+            last_saver.save(
+                os.path.join(save_dir, "last"), _state_tree(state),
+                metadata={
+                    "loop": {
+                        "epoch": epoch,
+                        "plateau": {"best": plateau.best,
+                                    "num_bad_epochs": plateau.num_bad_epochs,
+                                    "scale": plateau.scale},
+                        "best_metric": best_metric,
+                        "best_epoch": best_epoch,
+                        "bad_epochs": bad_epochs,
+                        "rng_key": np.asarray(rng).tolist(),
+                        "history": history,
+                    },
+                    "args": args_metadata or {}})
         if bad_epochs >= patience:
             log(f"Early stopping after {epoch + 1} epochs.")
             break
 
+    last_saver.wait()  # surface resume-write errors before finishing
     saver.wait()  # the last best-model write must land before restoring
     restored = bool(save_dir) and best_epoch >= 0
     log(f"Loading best model from epoch {best_epoch}" if save_dir

@@ -84,6 +84,63 @@ def test_train_loop_and_sweep(tree, tmp_path):
         assert re.match(pat, b), b
 
 
+def test_checkpoint_every_resume_exact_parity(tree, tmp_path):
+    """checkpoint_every + resume_from: 2 epochs, stop, resume for 2 more
+    must land bit-identical to an uninterrupted 4-epoch run — same rng
+    stream, plateau scheduler, best/early-stop counters (the reference
+    always restarts training from scratch, SURVEY §5)."""
+    root, csv = tree
+    args, tok, media = _loaders(csv)
+    cfg = _cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    # the train step donates its state — give each run its own copy
+    fresh = lambda: jax.tree_util.tree_map(np.array, params)
+    quiet = lambda *a: None
+
+    d_full = str(tmp_path / "full")
+    train_loop(fresh(), cfg, *training_loader(args, csv, tok, media)[:2],
+               num_epochs=4, learning_rate=1e-3, save_dir=d_full,
+               checkpoint_every=1, log=quiet)
+
+    d_half = str(tmp_path / "half")
+    train_loop(fresh(), cfg, *training_loader(args, csv, tok, media)[:2],
+               num_epochs=2, learning_rate=1e-3, save_dir=d_half,
+               checkpoint_every=1, log=quiet)
+    _, hist_res = train_loop(
+        fresh(), cfg, *training_loader(args, csv, tok, media)[:2],
+        num_epochs=4, learning_rate=1e-3, save_dir=d_half,
+        checkpoint_every=1,
+        resume_from=os.path.join(d_half, "last"), log=quiet)
+
+    f_tree, f_meta = restore_checkpoint(os.path.join(d_full, "last"))
+    h_tree, h_meta = restore_checkpoint(os.path.join(d_half, "last"))
+    assert f_meta["loop"]["epoch"] == h_meta["loop"]["epoch"] == 3
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           f_tree["params"], h_tree["params"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           f_tree["opt_state"], h_tree["opt_state"])
+    # the resumed run's history carries the restored prefix
+    assert len(hist_res) == 4
+    assert f_meta["loop"]["rng_key"] == h_meta["loop"]["rng_key"]
+    assert f_meta["loop"]["plateau"] == h_meta["loop"]["plateau"]
+
+
+def test_resume_requires_loop_state(tree, tmp_path):
+    """A best_model checkpoint (no loop state) is not a resume point —
+    resume_from must fail loudly, not silently restart the schedule."""
+    root, csv = tree
+    args, tok, media = _loaders(csv)
+    cfg = _cfg("sum")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "not_resumable")
+    save_checkpoint(path, {"params": params, "opt_state": {},
+                           "teacher_fusion": None, "step": 0})
+    with pytest.raises(ValueError, match="no loop state"):
+        train_loop(params, cfg, *training_loader(args, csv, tok, media)[:2],
+                   num_epochs=1, learning_rate=1e-3,
+                   resume_from=path, log=lambda *a: None)
+
+
 def test_report_block_format():
     m = {"loss": 1.23456, "accuracy": 0.5, "f1": 0.25, "auc": 0.75}
     assert format_report_block(0.3, m) == (
