@@ -17,7 +17,7 @@ from ..compat.args import train_args
 from ..data.loaders import training_loader
 from ..parallel import partition_params
 from ..train.checkpoint import restore_checkpoint
-from ..train.loop import train_loop
+from ..train.loop import PreemptedError, train_loop
 from .common import (FORCE_TRAIN_MISSING, build_model_config, init_params,
                      make_device_put, make_loader_fns, make_tokenizer,
                      setup_mesh, validate_pipe_batch)
@@ -97,19 +97,27 @@ def main(argv=None):
             print("--resume auto: no checkpoint at "
                   f"{cand} — starting fresh")
 
-    best_params, history = train_loop(
-        params, cfg, train_loader_, valid_loader,
-        num_epochs=args.num_epochs, learning_rate=args.learning_rate,
-        weight_decay=args.weight_decay, patience=args.patience,
-        teacher_fusion=teacher_fusion, seed=args.seed,
-        save_dir=save_path,
-        final_path=os.path.join(final_dir, experiment),
-        device_put=device_put, writer=writer,
-        args_metadata={k: v for k, v in vars(args).items()},
-        accum_steps=getattr(args, "grad_accum", 1),
-        profile_dir=getattr(args, "profile_dir", None),
-        checkpoint_every=getattr(args, "checkpoint_every", 0),
-        resume_from=resume_from)
+    try:
+        best_params, history = train_loop(
+            params, cfg, train_loader_, valid_loader,
+            num_epochs=args.num_epochs, learning_rate=args.learning_rate,
+            weight_decay=args.weight_decay, patience=args.patience,
+            teacher_fusion=teacher_fusion, seed=args.seed,
+            save_dir=save_path,
+            final_path=os.path.join(final_dir, experiment),
+            device_put=device_put, writer=writer,
+            args_metadata={k: v for k, v in vars(args).items()},
+            accum_steps=getattr(args, "grad_accum", 1),
+            profile_dir=getattr(args, "profile_dir", None),
+            checkpoint_every=getattr(args, "checkpoint_every", 0),
+            resume_from=resume_from)
+    except PreemptedError:
+        # resume checkpoint already landed; EX_TEMPFAIL tells schedulers
+        # the run is retriable (relaunch the same command: --resume auto
+        # picks the checkpoint up)
+        if writer is not None:
+            writer.close()
+        raise SystemExit(75)
 
     if writer is not None:
         writer.close()

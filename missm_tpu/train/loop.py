@@ -28,6 +28,59 @@ from .step import TrainState, init_train_state, make_eval_step, \
     make_train_step
 
 
+class PreemptedError(RuntimeError):
+    """Raised by train_loop once a SIGTERM-triggered resume checkpoint
+    has landed on disk. Rerun the same command (with --resume auto) to
+    continue; cli/train.py converts this into exit code 75 (EX_TEMPFAIL)
+    so schedulers treat the run as retriable, not failed."""
+
+
+class _PreemptionGuard:
+    """SIGTERM -> cooperative stop flag for the epoch loop.
+
+    The first signal only sets `triggered` (the loop checks it at batch
+    boundaries, lands checkpoints, exits cleanly) and immediately
+    restores the previous handler — so a second SIGTERM from an
+    escalating scheduler keeps its normal fatal meaning. Installs
+    nothing when not in the main thread (signal.signal would raise) —
+    train_loop then simply has no preemption handling, as before.
+
+    Multihost note: each process sees only its own signals; a clean
+    multihost preemption stop requires the scheduler to deliver SIGTERM
+    to every worker (the standard TPU preemption contract), because the
+    resume-checkpoint save is a collective."""
+
+    def __init__(self, log: Callable = print):
+        self.triggered = False
+        self._log = log
+        self._prev = None
+        self._mine = None
+
+    def __enter__(self):
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return self
+
+        def handler(signum, frame):
+            self.triggered = True
+            signal.signal(signal.SIGTERM, self._prev)
+            self._log("SIGTERM: finishing the current batch, writing the "
+                      "resume checkpoint, then exiting cleanly (a second "
+                      "SIGTERM kills immediately)")
+
+        self._mine = handler
+        self._prev = signal.signal(signal.SIGTERM, handler)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        if (self._mine is not None
+                and signal.getsignal(signal.SIGTERM) is self._mine):
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def _state_tree(state: TrainState) -> dict:
     return {"params": state.params, "opt_state": state.opt_state,
             "teacher_fusion": state.teacher_fusion, "step": state.step}
@@ -60,6 +113,21 @@ def _restore_loop_state(path: str, state: TrainState):
                        teacher_fusion=tree["teacher_fusion"],
                        step=tree["step"])
     return state, meta["loop"]
+
+
+def _loop_meta(epoch, plateau, best_metric, best_epoch, bad_epochs, rng,
+               history) -> dict:
+    """The loop-state dict a resume needs to continue exactly. `epoch`
+    is the last COMPLETED epoch (resume starts at epoch + 1)."""
+    return {"epoch": epoch,
+            "plateau": {"best": plateau.best,
+                        "num_bad_epochs": plateau.num_bad_epochs,
+                        "scale": plateau.scale},
+            "best_metric": best_metric,
+            "best_epoch": best_epoch,
+            "bad_epochs": bad_epochs,
+            "rng_key": np.asarray(rng).tolist(),
+            "history": history}
 
 
 def _prepared_batches(loader, batch_size, device_put):
@@ -113,6 +181,13 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     the run had never stopped (the epoch order is a fixed permutation,
     loaders.epoch_order, so the data stream is position-independent).
 
+    Graceful preemption: a SIGTERM stops the loop at the next batch
+    boundary, synchronously writes the same resume checkpoint to
+    `save_dir/last`, and raises PreemptedError. A mid-epoch stop keeps
+    the partial epoch's updates in params and re-runs that epoch from
+    its start on resume (its batches train twice — a bounded, standard
+    preemption cost); a stop that lands between epochs resumes exactly.
+
     The epoch loss is accumulated ON DEVICE and read back once per
     `sync_every` steps (flow control / timing sync; on the tunneled axon
     platform only an actual readback blocks) plus once at epoch end — the
@@ -153,151 +228,186 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
 
     step_dev_s = None  # calibrated pure device step time (epoch 0)
     profiling = False  # --profile_dir: trace epoch-0 batches 4-6
-    for epoch in range(start_epoch, num_epochs):
-        t0 = time.time()
-        loss_acc = None  # device-resident running sum — no per-step readback
-        n_batches = 0
-        input_s = 0.0
-        step_s = 0.0
-        t_in = time.perf_counter()
-        for data, labels, missing, valid in _prepared_batches(
-                train_loader, batch_size, device_put):
-            t_now = time.perf_counter()
-            input_s += t_now - t_in
-            rng, sub = jax.random.split(rng)
-            lr = learning_rate * plateau.scale
-            state, m = step_fn(state, data, labels, missing, lr, sub,
-                               valid=valid)
-            loss_acc = m["loss"] if loss_acc is None else loss_acc + m["loss"]
-            n_batches += 1
-            if n_batches in (2, 3):
-                # calibrate the pure device step: drain before/after one
-                # post-compile step (batch 2 flushes the compile+backlog,
-                # batch 3 is timed drained-to-drained). Dispatch is async
-                # on this platform, so wall-clock alone cannot separate
-                # "waiting on input" from "device busy" — the duty meter
-                # below uses n * this against the epoch wall.
-                # Re-calibrated EVERY epoch, min-combined: on a tunnel
-                # whose bandwidth swings 13-124 MB/s within sessions one
-                # drain window can absorb a stall (VERDICT r2 weak #6);
-                # the min over epochs converges to the true device step.
-                t_d = time.perf_counter()
-                float(loss_acc)
-                if n_batches == 3:
-                    w = time.perf_counter() - t_d
-                    step_dev_s = w if step_dev_s is None else min(
-                        step_dev_s, w)
-            if profile_dir and epoch == 0:
-                # capture steady-state steps (post-compile, post-
-                # calibration): batches 4-6 under jax.profiler —
-                # Perfetto/TensorBoard-viewable device trace. Drain
-                # before start/stop so the window holds whole steps.
-                if n_batches == 3 and not profiling:
-                    float(loss_acc)
-                    jax.profiler.start_trace(profile_dir)
-                    profiling = True
-                elif n_batches == 6 and profiling:
-                    float(loss_acc)
-                    jax.profiler.stop_trace()
-                    profiling = False
-            if sync_every and n_batches % sync_every == 0:
-                float(loss_acc)  # drains the device queue; value unchanged
+    preempted = False
+    preempt_partial = 0
+    rng_epoch_start = rng
+    with _PreemptionGuard(log=log) as preempt:
+        for epoch in range(start_epoch, num_epochs):
+            rng_epoch_start = rng  # the resume point if this epoch re-runs
+            if preempt.triggered:
+                # signal landed during the previous epoch's eval/saves — that
+                # epoch completed fully, so the resume is exact
+                preempted = True
+                break
+            t0 = time.time()
+            loss_acc = None  # device-resident running sum — no per-step readback
+            n_batches = 0
+            input_s = 0.0
+            step_s = 0.0
             t_in = time.perf_counter()
-            step_s += t_in - t_now
-        if profiling:  # epoch shorter than the trace window
-            jax.profiler.stop_trace()
-            profiling = False
-        t_now = time.perf_counter()
-        avg_train_loss = (float(loss_acc) / n_batches if n_batches else 0.0)
-        step_s += time.perf_counter() - t_now  # final drain is device time
-        train_wall = step_s + input_s
-        duty = (min(1.0, n_batches * step_dev_s / max(train_wall, 1e-9))
-                if step_dev_s else
-                step_s / max(train_wall, 1e-9))
-        step_ms = (step_dev_s if step_dev_s
-                   else step_s / max(n_batches, 1)) * 1000
-        ts = {"step_ms_mean": step_ms, "duty_cycle": duty}
+            for data, labels, missing, valid in _prepared_batches(
+                    train_loader, batch_size, device_put):
+                t_now = time.perf_counter()
+                input_s += t_now - t_in
+                rng, sub = jax.random.split(rng)
+                lr = learning_rate * plateau.scale
+                state, m = step_fn(state, data, labels, missing, lr, sub,
+                                   valid=valid)
+                loss_acc = m["loss"] if loss_acc is None else loss_acc + m["loss"]
+                n_batches += 1
+                if n_batches in (2, 3):
+                    # calibrate the pure device step: drain before/after one
+                    # post-compile step (batch 2 flushes the compile+backlog,
+                    # batch 3 is timed drained-to-drained). Dispatch is async
+                    # on this platform, so wall-clock alone cannot separate
+                    # "waiting on input" from "device busy" — the duty meter
+                    # below uses n * this against the epoch wall.
+                    # Re-calibrated EVERY epoch, min-combined: on a tunnel
+                    # whose bandwidth swings 13-124 MB/s within sessions one
+                    # drain window can absorb a stall (VERDICT r2 weak #6);
+                    # the min over epochs converges to the true device step.
+                    t_d = time.perf_counter()
+                    float(loss_acc)
+                    if n_batches == 3:
+                        w = time.perf_counter() - t_d
+                        step_dev_s = w if step_dev_s is None else min(
+                            step_dev_s, w)
+                if profile_dir and epoch == 0:
+                    # capture steady-state steps (post-compile, post-
+                    # calibration): batches 4-6 under jax.profiler —
+                    # Perfetto/TensorBoard-viewable device trace. Drain
+                    # before start/stop so the window holds whole steps.
+                    if n_batches == 3 and not profiling:
+                        float(loss_acc)
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif n_batches == 6 and profiling:
+                        float(loss_acc)
+                        jax.profiler.stop_trace()
+                        profiling = False
+                if sync_every and n_batches % sync_every == 0:
+                    float(loss_acc)  # drains the device queue; value unchanged
+                t_in = time.perf_counter()
+                step_s += t_in - t_now
+                if preempt.triggered:
+                    break  # batch-boundary stop; checkpoint below
+            if profiling:  # epoch shorter than the trace window
+                jax.profiler.stop_trace()
+                profiling = False
+            if preempt.triggered:
+                # mid-epoch preemption: the partial epoch's param/opt updates
+                # are kept (those batches will train a second time on resume —
+                # the epoch restarts from rng_epoch_start); plateau/best/
+                # history are epoch-granular, so their current values ARE the
+                # epoch-start values the resume needs.
+                preempted = True
+                preempt_partial = n_batches
+                break
+            t_now = time.perf_counter()
+            avg_train_loss = (float(loss_acc) / n_batches if n_batches else 0.0)
+            step_s += time.perf_counter() - t_now  # final drain is device time
+            train_wall = step_s + input_s
+            duty = (min(1.0, n_batches * step_dev_s / max(train_wall, 1e-9))
+                    if step_dev_s else
+                    step_s / max(train_wall, 1e-9))
+            step_ms = (step_dev_s if step_dev_s
+                       else step_s / max(n_batches, 1)) * 1000
+            ts = {"step_ms_mean": step_ms, "duty_cycle": duty}
 
-        val = evaluate_metrics(state.params, eval_fn, valid_loader,
-                               device_put=device_put)
-        history.append({"epoch": epoch, "train_loss": avg_train_loss,
-                        **{f"val_{k}": v for k, v in val.items()},
-                        "step_ms": ts["step_ms_mean"],
-                        "duty": ts["duty_cycle"],
-                        "step_dev_s": step_dev_s,
-                        "input_s": input_s, "step_s": step_s,
-                        "n_batches": n_batches,
-                        "wall_s": time.time() - t0})
-        if writer is not None:
-            writer.add_scalar("Loss/train", avg_train_loss, epoch)
-            for k, v in val.items():
-                writer.add_scalar(f"{k}/val", v, epoch)
-        log(f"Epoch {epoch + 1}/{num_epochs} "
-            f"train_loss={avg_train_loss:.4f} val_loss={val['loss']:.4f} "
-            f"val_acc={val['accuracy']:.4f} val_f1={val['f1']:.4f} "
-            f"val_auc={val['auc']:.4f} lr_scale={plateau.scale:g} "
-            f"step={ts['step_ms_mean']:.0f}ms "
-            f"duty={ts['duty_cycle']:.2f} ({time.time() - t0:.1f}s)")
-        if writer is not None:
-            writer.add_scalar("duty_cycle/train", ts["duty_cycle"], epoch)
+            val = evaluate_metrics(state.params, eval_fn, valid_loader,
+                                   device_put=device_put)
+            history.append({"epoch": epoch, "train_loss": avg_train_loss,
+                            **{f"val_{k}": v for k, v in val.items()},
+                            "step_ms": ts["step_ms_mean"],
+                            "duty": ts["duty_cycle"],
+                            "step_dev_s": step_dev_s,
+                            "input_s": input_s, "step_s": step_s,
+                            "n_batches": n_batches,
+                            "wall_s": time.time() - t0})
+            if writer is not None:
+                writer.add_scalar("Loss/train", avg_train_loss, epoch)
+                for k, v in val.items():
+                    writer.add_scalar(f"{k}/val", v, epoch)
+            log(f"Epoch {epoch + 1}/{num_epochs} "
+                f"train_loss={avg_train_loss:.4f} val_loss={val['loss']:.4f} "
+                f"val_acc={val['accuracy']:.4f} val_f1={val['f1']:.4f} "
+                f"val_auc={val['auc']:.4f} lr_scale={plateau.scale:g} "
+                f"step={ts['step_ms_mean']:.0f}ms "
+                f"duty={ts['duty_cycle']:.2f} ({time.time() - t0:.1f}s)")
+            if writer is not None:
+                writer.add_scalar("duty_cycle/train", ts["duty_cycle"], epoch)
 
-        plateau = plateau_update(plateau, val["accuracy"])
+            plateau = plateau_update(plateau, val["accuracy"])
 
-        if val["accuracy"] > best_metric:
-            best_metric = val["accuracy"]
-            best_epoch = epoch
-            bad_epochs = 0
+            if val["accuracy"] > best_metric:
+                best_metric = val["accuracy"]
+                best_epoch = epoch
+                bad_epochs = 0
+                if save_dir:
+                    # async: the device->host gather happens here, the disk
+                    # write overlaps the next epoch's training
+                    saver.save(
+                        os.path.join(save_dir, "best_model"),
+                        {"params": state.params, "opt_state": state.opt_state},
+                        metadata={"epoch": epoch, "val_metrics": val,
+                                  "args": args_metadata or {}})
+            else:
+                bad_epochs += 1
+                log(f"No improvement for {bad_epochs} epochs.")
+            if checkpoint_every and save_dir and (
+                    epoch + 1) % checkpoint_every == 0:
+                # preemption-safe resume point: full TrainState + the loop
+                # state a restart needs to continue bit-identically
+                last_saver.save(
+                    os.path.join(save_dir, "last"), _state_tree(state),
+                    metadata={
+                        "loop": _loop_meta(epoch, plateau, best_metric,
+                                           best_epoch, bad_epochs, rng, history),
+                        "args": args_metadata or {}})
+            if bad_epochs >= patience:
+                log(f"Early stopping after {epoch + 1} epochs.")
+                break
+
+        if preempted:
             if save_dir:
-                # async: the device->host gather happens here, the disk
-                # write overlaps the next epoch's training
-                saver.save(
-                    os.path.join(save_dir, "best_model"),
-                    {"params": state.params, "opt_state": state.opt_state},
-                    metadata={"epoch": epoch, "val_metrics": val,
-                              "args": args_metadata or {}})
-        else:
-            bad_epochs += 1
-            log(f"No improvement for {bad_epochs} epochs.")
-        if checkpoint_every and save_dir and (
-                epoch + 1) % checkpoint_every == 0:
-            # preemption-safe resume point: full TrainState + the loop
-            # state a restart needs to continue bit-identically
-            last_saver.save(
-                os.path.join(save_dir, "last"), _state_tree(state),
-                metadata={
-                    "loop": {
-                        "epoch": epoch,
-                        "plateau": {"best": plateau.best,
-                                    "num_bad_epochs": plateau.num_bad_epochs,
-                                    "scale": plateau.scale},
-                        "best_metric": best_metric,
-                        "best_epoch": best_epoch,
-                        "bad_epochs": bad_epochs,
-                        "rng_key": np.asarray(rng).tolist(),
-                        "history": history,
-                    },
-                    "args": args_metadata or {}})
-        if bad_epochs >= patience:
-            log(f"Early stopping after {epoch + 1} epochs.")
-            break
+                last_saver.wait()  # same-path writes must not interleave
+                # synchronous: the write must land before this process exits
+                save_checkpoint(
+                    os.path.join(save_dir, "last"), _state_tree(state),
+                    metadata={
+                        "loop": _loop_meta(epoch - 1, plateau, best_metric,
+                                           best_epoch, bad_epochs,
+                                           rng_epoch_start, history),
+                        "preempted": {"epoch": epoch,
+                                      "batches_done": preempt_partial},
+                        "args": args_metadata or {}})
+            saver.wait()  # let an in-flight best-model write land too
+            where = (os.path.join(save_dir, "last") if save_dir
+                     else "NOWHERE (no save_dir — partial progress lost)")
+            log(f"Preempted during epoch {epoch + 1} after {preempt_partial} "
+                f"batches; resume checkpoint: {where}. Rerun the same command "
+                "with --resume auto to continue.")
+            raise PreemptedError(
+                f"SIGTERM during epoch {epoch + 1}; resume checkpoint at "
+                f"{where}")
 
-    last_saver.wait()  # surface resume-write errors before finishing
-    saver.wait()  # the last best-model write must land before restoring
-    restored = bool(save_dir) and best_epoch >= 0
-    log(f"Loading best model from epoch {best_epoch}" if save_dir
-        else "Keeping final-epoch params (no save_dir to restore best from)")
-    best_params = state.params
-    if restored:
-        tree, _ = restore_checkpoint(os.path.join(save_dir, "best_model"))
-        best_params = tree["params"]
-    if final_path:
-        # metadata must describe the params actually saved: without a
-        # save_dir the best epoch was never checkpointed, so the final
-        # artifact holds LAST-epoch params (early stopping guarantees
-        # those are `patience` epochs worse than best).
-        meta = ({"best_epoch": best_epoch, "val_accuracy": best_metric}
-                if restored else
-                {"best_epoch": None, "params_from": "final_epoch",
-                 "best_val_accuracy_seen": best_metric})
-        save_checkpoint(final_path, {"params": best_params}, metadata=meta)
-    return best_params, history
+        last_saver.wait()  # surface resume-write errors before finishing
+        saver.wait()  # the last best-model write must land before restoring
+        restored = bool(save_dir) and best_epoch >= 0
+        log(f"Loading best model from epoch {best_epoch}" if save_dir
+            else "Keeping final-epoch params (no save_dir to restore best from)")
+        best_params = state.params
+        if restored:
+            tree, _ = restore_checkpoint(os.path.join(save_dir, "best_model"))
+            best_params = tree["params"]
+        if final_path:
+            # metadata must describe the params actually saved: without a
+            # save_dir the best epoch was never checkpointed, so the final
+            # artifact holds LAST-epoch params (early stopping guarantees
+            # those are `patience` epochs worse than best).
+            meta = ({"best_epoch": best_epoch, "val_accuracy": best_metric}
+                    if restored else
+                    {"best_epoch": None, "params_from": "final_epoch",
+                     "best_val_accuracy_seen": best_metric})
+            save_checkpoint(final_path, {"params": best_params}, metadata=meta)
+        return best_params, history
