@@ -92,7 +92,14 @@ def main(argv=None):
         # preemption-restart idiom: the SAME command line works for the
         # first launch and every restart)
         cand = os.path.join(save_path, "last")
-        resume_from = cand if os.path.isdir(cand) else None
+        # .old: a crash between _write's two renames leaves only the
+        # demoted-but-complete checkpoint — restore_checkpoint resolves
+        # it, so count it as resumable here too (a fresh restart would
+        # rmtree it on its first checkpoint write, destroying the one
+        # recoverable artifact in exactly the window the atomic swap
+        # exists for)
+        resume_from = cand if (os.path.isdir(cand)
+                               or os.path.isdir(cand + ".old")) else None
         if resume_from is None:
             print("--resume auto: no checkpoint at "
                   f"{cand} — starting fresh")

@@ -39,9 +39,81 @@ def _host_value(x):
 _SWAP_COUNTER = [0]
 
 
-def _write(path: str, host_tree: Any, metadata: Optional[dict]):
+class _SerialWriter:
+    """ALL checkpoint writes in a process run on ONE daemon thread, in
+    submission order.
+
+    Why order (not just mutual exclusion) matters: under
+    jax.process_count() > 1 each `_write` is a COLLECTIVE (orbax's save
+    barriers + the swap barrier below) — every process must enter the
+    same writes in the same order or barriers pair across different
+    writes and the job hangs. The train loop submits writes in program
+    order, which GSPMD replication makes identical on every host; a
+    per-saver thread (the previous design) let the OS scheduler pick the
+    cross-saver order per host. A single submission-ordered queue makes
+    the execution order the program order. It also makes _SWAP_COUNTER
+    single-threaded."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._q = None
+        self._thread = None
+
+    def submit(self, fn):
+        """Enqueue fn; returns a job with .done (Event) and .err."""
+        import queue
+        import threading
+
+        class _Job:
+            __slots__ = ("fn", "err", "done")
+
+            def __init__(self, fn):
+                self.fn = fn
+                self.err = None
+                self.done = threading.Event()
+
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._q = queue.Queue()
+
+                def run(q=self._q):
+                    while True:
+                        job = q.get()
+                        try:
+                            job.fn()
+                        except BaseException as e:  # noqa: BLE001
+                            job.err = e
+                        finally:
+                            job.done.set()
+
+                # daemon: see AsyncSaver docstring (crash-safety comes
+                # from _write's atomic swap, not from draining at exit)
+                self._thread = threading.Thread(
+                    target=run, daemon=True, name="missm-ckpt-writer")
+                self._thread.start()
+            job = _Job(fn)
+            self._q.put(job)
+        return job
+
+
+_WRITER = _SerialWriter()
+
+
+def _meta_json(metadata: Optional[dict]) -> Optional[str]:
+    """Serialize metadata SYNCHRONOUSLY at submission time: callers pass
+    live structures (the train loop's growing `history` list) and the
+    write runs later on the writer thread — serializing then would
+    capture mutations newer than the checkpoint's arrays."""
+    return None if metadata is None else json.dumps(metadata, default=str)
+
+
+def _write(path: str, host_tree: Any, metadata: Optional[str]):
     """The slow part: orbax serialization + disk. `host_tree` must already
-    be host numpy arrays (see AsyncSaver for why).
+    be host numpy arrays (see AsyncSaver for why); `metadata` is a
+    pre-serialized JSON string (see _meta_json). Runs on the _WRITER
+    thread — never call directly from two threads (collective-order
+    invariant, _SerialWriter docstring).
 
     Crash-safe: serializes into `path + ".tmp"` and atomically swaps it
     in only once complete, so a process dying mid-write (OOM, preemption,
@@ -62,7 +134,7 @@ def _write(path: str, host_tree: Any, metadata: Optional[dict]):
     if jax.process_index() == 0:
         if metadata is not None:
             with open(os.path.join(tmp, "missm_meta.json"), "w") as f:
-                json.dump(metadata, f, default=str)
+                f.write(metadata)
         import shutil
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -82,8 +154,15 @@ def _write(path: str, host_tree: Any, metadata: Optional[dict]):
 
 
 def save_checkpoint(path: str, tree: Any, metadata: Optional[dict] = None):
-    """Save a pytree + metadata dict at `path` (a directory)."""
-    _write(path, jax.tree_util.tree_map(_host_value, tree), metadata)
+    """Save a pytree + metadata dict at `path` (a directory). Blocks
+    until the write lands; routed through the process-wide serial writer
+    so synchronous saves cannot interleave with in-flight AsyncSaver
+    writes (collective-order invariant, _SerialWriter docstring)."""
+    host_tree = jax.tree_util.tree_map(_host_value, tree)
+    job = _WRITER.submit(lambda: _write(path, host_tree, _meta_json(metadata)))
+    job.done.wait()
+    if job.err is not None:
+        raise job.err
 
 
 class AsyncSaver:
@@ -95,10 +174,12 @@ class AsyncSaver:
     _host_value's cross-process all-gather (FSDP leaves) is a collective
     that must not interleave with train-step collectives. The write —
     the slow orbax serialization + disk part, plus orbax's out-of-band
-    multihost sync barrier — runs in a background thread. At most one
-    write is in flight: a newer save joins the previous first
-    (same-path writes must not interleave), and errors surface at the
-    next save()/wait().
+    multihost sync barrier — runs on the process-wide _WRITER thread,
+    which executes ALL checkpoint writes (every saver + synchronous
+    save_checkpoint) one at a time in submission order — the invariant
+    the multihost swap barrier needs (_SerialWriter docstring). Per
+    saver, at most one write is in flight: a newer save joins the
+    previous first, and errors surface at the next save()/wait().
 
     Crash semantics: _write serializes to a temp dir and atomically
     swaps, so a process dying with a write in flight (the train loop
@@ -112,8 +193,7 @@ class AsyncSaver:
     """
 
     def __init__(self):
-        self._thread = None
-        self._err: Optional[BaseException] = None
+        self._job = None
 
     @staticmethod
     def _snapshot(x):
@@ -130,30 +210,18 @@ class AsyncSaver:
 
     def save(self, path: str, tree: Any, metadata: Optional[dict] = None):
         host_tree = jax.tree_util.tree_map(self._snapshot, tree)
+        meta_json = _meta_json(metadata)  # snapshot NOW, not at write time
         self.wait()
-
-        def work():
-            try:
-                _write(path, host_tree, metadata)
-            except BaseException as e:  # noqa: BLE001 - surface at wait()
-                self._err = e
-
-        import threading
-        # daemon: see class docstring (crash-safety comes from the
-        # atomic swap in _write, not from draining the thread at exit)
-        self._thread = threading.Thread(target=work, daemon=True,
-                                        name="missm-ckpt-save")
-        self._thread.start()
+        self._job = _WRITER.submit(lambda: _write(path, host_tree, meta_json))
 
     def wait(self):
         """Block until the in-flight write (if any) lands; re-raise its
         error. MUST be called before restoring a path this saver wrote."""
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+        if self._job is not None:
+            job, self._job = self._job, None
+            job.done.wait()
+            if job.err is not None:
+                raise job.err
 
 
 def _resolve_ckpt_dir(path: str) -> str:

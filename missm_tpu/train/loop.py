@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import os
+import random
 import time
 from typing import Callable, Optional
 
@@ -53,8 +54,29 @@ class _PreemptionGuard:
     def __init__(self, log: Callable = print):
         self.triggered = False
         self._log = log
+        self._logged = False
         self._prev = None
         self._mine = None
+
+    def _restorable_prev(self):
+        # getsignal/signal return None for a handler installed by
+        # non-Python code — not a value signal.signal accepts back
+        import signal
+        return self._prev if self._prev is not None else signal.SIG_DFL
+
+    def check(self) -> bool:
+        """`triggered`, plus first-observation logging. The handler
+        itself must stay async-signal-safe: a print from handler context
+        can hit 'reentrant call inside BufferedWriter' when the signal
+        interrupts a main-thread print, and the RuntimeError would unwind
+        train_loop right past the checkpoint it was about to write — so
+        the ack message is logged HERE, at the loop's next boundary."""
+        if self.triggered and not self._logged:
+            self._logged = True
+            self._log("SIGTERM: stopping at this batch boundary, writing "
+                      "the resume checkpoint, then exiting cleanly (a "
+                      "second SIGTERM kills immediately)")
+        return self.triggered
 
     def __enter__(self):
         import signal
@@ -63,11 +85,9 @@ class _PreemptionGuard:
             return self
 
         def handler(signum, frame):
+            # flag + handler restore only — both async-signal-safe
             self.triggered = True
-            signal.signal(signal.SIGTERM, self._prev)
-            self._log("SIGTERM: finishing the current batch, writing the "
-                      "resume checkpoint, then exiting cleanly (a second "
-                      "SIGTERM kills immediately)")
+            signal.signal(signal.SIGTERM, self._restorable_prev())
 
         self._mine = handler
         self._prev = signal.signal(signal.SIGTERM, handler)
@@ -77,7 +97,7 @@ class _PreemptionGuard:
         import signal
         if (self._mine is not None
                 and signal.getsignal(signal.SIGTERM) is self._mine):
-            signal.signal(signal.SIGTERM, self._prev)
+            signal.signal(signal.SIGTERM, self._restorable_prev())
         return False
 
 
@@ -116,9 +136,18 @@ def _restore_loop_state(path: str, state: TrainState):
 
 
 def _loop_meta(epoch, plateau, best_metric, best_epoch, bad_epochs, rng,
-               history) -> dict:
+               history, py_random) -> dict:
     """The loop-state dict a resume needs to continue exactly. `epoch`
-    is the last COMPLETED epoch (resume starts at epoch + 1)."""
+    is the last COMPLETED epoch (resume starts at epoch + 1).
+
+    `py_random` is random.getstate() at the resume point: the data
+    pipeline's train-missing / retrieval-substitution draws consume the
+    process-global `random` stream (data/datasets.py:120-128, seeded
+    once by cli/train.py) — restoring only the jax key would replay
+    those draws from stream position 0, diverging every train_missing
+    run from its uninterrupted twin. (Exactness holds for the default
+    sequential decode; --num_workers > 1 interleaves draws across
+    threads and is order-nondeterministic with or without a resume.)"""
     return {"epoch": epoch,
             "plateau": {"best": plateau.best,
                         "num_bad_epochs": plateau.num_bad_epochs,
@@ -127,7 +156,20 @@ def _loop_meta(epoch, plateau, best_metric, best_epoch, bad_epochs, rng,
             "best_epoch": best_epoch,
             "bad_epochs": bad_epochs,
             "rng_key": np.asarray(rng).tolist(),
+            "py_random": list(py_random),
             "history": history}
+
+
+def _agreed_stop(local: bool) -> bool:
+    """One process's SIGTERM flag -> a stop decision every process
+    agrees on. Signal delivery/observation timing differs per host; an
+    un-agreed mid-epoch stop would have hosts break at different batch
+    boundaries and then issue mismatched collectives (the resume save
+    itself is collective) — the job would hang until the hard kill."""
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.process_allgather(np.asarray(local)).any())
 
 
 def _prepared_batches(loader, batch_size, device_put):
@@ -222,6 +264,12 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
         bad_epochs = int(loop_meta["bad_epochs"])
         history = list(loop_meta.get("history", []))
         rng = jnp.asarray(loop_meta["rng_key"], jnp.uint32)
+        if loop_meta.get("py_random"):
+            # the data pipeline's random.choice draws continue from the
+            # checkpointed stream position (see _loop_meta)
+            st = loop_meta["py_random"]
+            random.setstate((int(st[0]), tuple(int(v) for v in st[1]),
+                             None if st[2] is None else float(st[2])))
         log(f"Resumed from {resume_from}: continuing at epoch "
             f"{start_epoch + 1} (best={best_metric:.4f} @ epoch "
             f"{best_epoch + 1}, lr_scale={plateau.scale:g})")
@@ -231,10 +279,14 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
     preempted = False
     preempt_partial = 0
     rng_epoch_start = rng
+    py_rand_start = random.getstate()
     with _PreemptionGuard(log=log) as preempt:
         for epoch in range(start_epoch, num_epochs):
-            rng_epoch_start = rng  # the resume point if this epoch re-runs
-            if preempt.triggered:
+            # the resume point if this epoch re-runs (jax key + the
+            # python stream the datasets' missing-code draws consume)
+            rng_epoch_start = rng
+            py_rand_start = random.getstate()
+            if _agreed_stop(preempt.check()):
                 # signal landed during the previous epoch's eval/saves — that
                 # epoch completed fully, so the resume is exact
                 preempted = True
@@ -244,6 +296,7 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
             n_batches = 0
             input_s = 0.0
             step_s = 0.0
+            stop_mid = False  # agreed mid-epoch stop decision (all hosts)
             t_in = time.perf_counter()
             for data, labels, missing, valid in _prepared_batches(
                     train_loader, batch_size, device_put):
@@ -289,12 +342,23 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                     float(loss_acc)  # drains the device queue; value unchanged
                 t_in = time.perf_counter()
                 step_s += t_in - t_now
-                if preempt.triggered:
+                if jax.process_count() == 1:
+                    stop_mid = preempt.check()
+                elif sync_every and n_batches % sync_every == 0:
+                    # multihost: the stop BATCH must be agreed, so every
+                    # host breaks at the same step and enters the
+                    # collective resume save below together (a host can
+                    # stop on a PEER's signal before its own arrives) —
+                    # piggybacked on the sync_every readback cadence.
+                    # With sync_every=0, multihost stops land at epoch
+                    # boundaries (the agreed check at the epoch top).
+                    stop_mid = _agreed_stop(preempt.check())
+                if stop_mid:
                     break  # batch-boundary stop; checkpoint below
             if profiling:  # epoch shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
-            if preempt.triggered:
+            if stop_mid:
                 # mid-epoch preemption: the partial epoch's param/opt updates
                 # are kept (those batches will train a second time on resume —
                 # the epoch restarts from rng_epoch_start); plateau/best/
@@ -362,7 +426,8 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
                     os.path.join(save_dir, "last"), _state_tree(state),
                     metadata={
                         "loop": _loop_meta(epoch, plateau, best_metric,
-                                           best_epoch, bad_epochs, rng, history),
+                                           best_epoch, bad_epochs, rng,
+                                           history, random.getstate()),
                         "args": args_metadata or {}})
             if bad_epochs >= patience:
                 log(f"Early stopping after {epoch + 1} epochs.")
@@ -370,18 +435,27 @@ def train_loop(params, cfg: ModelConfig, train_loader, valid_loader, *,
 
         if preempted:
             if save_dir:
-                last_saver.wait()  # same-path writes must not interleave
-                # synchronous: the write must land before this process exits
+                # synchronous: the write must land before this process
+                # exits. The process-wide serial writer orders it after
+                # any in-flight best/last write (checkpoint._SerialWriter)
+                # — the waits below only surface errors, and an earlier
+                # write's failure must not block THIS write (it is the
+                # one that makes the preemption resumable).
                 save_checkpoint(
                     os.path.join(save_dir, "last"), _state_tree(state),
                     metadata={
                         "loop": _loop_meta(epoch - 1, plateau, best_metric,
                                            best_epoch, bad_epochs,
-                                           rng_epoch_start, history),
+                                           rng_epoch_start, history,
+                                           py_rand_start),
                         "preempted": {"epoch": epoch,
                                       "batches_done": preempt_partial},
                         "args": args_metadata or {}})
-            saver.wait()  # let an in-flight best-model write land too
+            for s in (last_saver, saver):
+                try:
+                    s.wait()  # surface async-write errors, but keep the
+                except Exception as e:  # preemption exit retriable
+                    log(f"note: an async checkpoint write had failed: {e}")
             where = (os.path.join(save_dir, "last") if save_dir
                      else "NOWHERE (no save_dir — partial progress lost)")
             log(f"Preempted during epoch {epoch + 1} after {preempt_partial} "

@@ -31,30 +31,69 @@ class Prefetcher:
         self.transfer = transfer
 
     def __iter__(self) -> Iterator:
+        """Abandoning the returned generator early (a consumer `break` —
+        e.g. the train loop's mid-epoch preemption stop) must not leak
+        the worker: its generator close (CPython: immediate, refcount)
+        runs the `finally`, which flags the worker to stop, closes the
+        wrapped iterator (cascading through nested prefetchers), and
+        joins — instead of leaving a daemon thread blocked on q.put
+        forever, pinning ~depth decoded batches (and, for the transfer
+        stage, racing device_puts against whatever the consumer does
+        next, e.g. a synchronous checkpoint's device->host gathers)."""
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         err = []
+        stop = threading.Event()
+        it = iter(self.iterable)
+
+        def _put(item) -> bool:
+            # bounded put that notices cancellation
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def work():
             try:
-                for item in self.iterable:
+                while not stop.is_set():
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
                     if self.transfer is not None:
                         item = self.transfer(item)
-                    q.put(item)
+                    if not _put(item):
+                        break
             except BaseException as e:  # noqa: BLE001 - propagate to consumer
                 err.append(e)
             finally:
-                q.put(_DONE)
+                _put(_DONE)  # dropped only when the consumer is gone
 
-        t = threading.Thread(target=work, daemon=True)
+        t = threading.Thread(target=work, daemon=True,
+                             name="missm-prefetch")
         t.start()
-        while True:
-            item = q.get()
-            if item is _DONE:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:  # cascade: a nested Prefetcher generator releases
+                    close()  # ITS worker the same way
+                except BaseException:  # noqa: BLE001
+                    pass
+            # bounded: the worker exits within one put-timeout once
+            # unblocked; next(it) can hold it for up to one decode
+            t.join(timeout=60.0)
 
 
 def prefetch(iterable: Iterable, depth: int = 2,

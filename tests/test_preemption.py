@@ -149,3 +149,96 @@ def test_sigterm_between_epochs_resumes_exactly(tree, tmp_path):
                            f_tree["opt_state"], h_tree["opt_state"])
     assert f_meta["loop"]["rng_key"] == h_meta["loop"]["rng_key"]
     assert f_meta["loop"]["plateau"] == h_meta["loop"]["plateau"]
+    # the python `random` stream resumes from the checkpointed position
+    # (the datasets' train-missing draws consume it)
+    assert f_meta["loop"]["py_random"] == h_meta["loop"]["py_random"]
+
+
+class _DrawRecorder:
+    """Loader wrapper that consumes one process-global `random` draw per
+    batch — a stand-in for the datasets' train_missing / retrieval
+    random.choice draws (data/datasets.py:120-128)."""
+
+    def __init__(self, loader, draws: list):
+        self.loader = loader
+        self.batch_size = loader.batch_size
+        self.draws = draws
+
+    def __iter__(self):
+        import random as _r
+        for b in self.loader:
+            self.draws.append(_r.random())
+            yield b
+
+
+def test_resume_continues_python_random_stream(tree, tmp_path):
+    """An uninterrupted run and a stop+resume run must present the SAME
+    sequence of process-global `random` draws to the data pipeline —
+    restoring only the jax key would replay the stream from its seed and
+    give the resumed epochs different missing patterns than the
+    uninterrupted twin."""
+    import random as _r
+    root, csv = tree
+    args, tok, media = _setup(csv)
+    cfg = _cfg()
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    fresh = lambda: jax.tree_util.tree_map(np.array, params)
+
+    _r.seed(123)
+    full_draws = []
+    tl, vl, _ = training_loader(args, csv, tok, media)
+    train_loop(fresh(), cfg, _DrawRecorder(tl, full_draws), vl,
+               num_epochs=4, learning_rate=1e-3,
+               save_dir=str(tmp_path / "full"), checkpoint_every=1,
+               log=quiet)
+
+    _r.seed(123)
+    half_draws = []
+    tl, vl, _ = training_loader(args, csv, tok, media)
+    train_loop(fresh(), cfg, _DrawRecorder(tl, half_draws), vl,
+               num_epochs=2, learning_rate=1e-3,
+               save_dir=str(tmp_path / "half"), checkpoint_every=1,
+               log=quiet)
+    _r.seed(999)  # resume must restore the position, not trust the seed
+    tl, vl, _ = training_loader(args, csv, tok, media)
+    train_loop(fresh(), cfg, _DrawRecorder(tl, half_draws), vl,
+               num_epochs=4, learning_rate=1e-3,
+               save_dir=str(tmp_path / "half"), checkpoint_every=1,
+               resume_from=str(tmp_path / "half" / "last"), log=quiet)
+
+    assert len(full_draws) == len(half_draws)
+    assert full_draws == half_draws
+
+
+def test_resume_auto_recovers_from_old_dir(tmp_path, monkeypatch):
+    """A crash between _write's two renames leaves only last.old.
+    `--resume auto` must treat that as resumable: a fresh restart would
+    train from epoch 0 AND rmtree the .old on its first checkpoint
+    write — silently destroying the one recoverable artifact in exactly
+    the window the atomic swap exists for."""
+    from missm_tpu.cli.train import main as train_main
+
+    data_root = tmp_path / "mvsa_multiple"
+    csv = make_mvsa_tree(str(data_root), write_media=True)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    monkeypatch.chdir(run_dir)
+
+    argv = ["--datasetName", "mvsa", "--csv_path", csv,
+            "--modality_types", "language", "image",
+            "--fusion_type", "sum", "--model_scale", "tiny",
+            "--hash_tokenizer", "--init", "random", "--batch_size", "4",
+            "--num_epochs", "2", "--num_workers", "0",
+            "--checkpoint_every", "1"]
+    train_main(argv)
+    last = "./experiments/mvsa_sum/checkpoints/last"
+    assert os.path.isdir(last)
+    os.rename(last, last + ".old")  # simulate the mid-swap crash
+
+    best, hist = train_main(argv + ["--resume", "auto"])
+    # resumed at epoch 2 == num_epochs: zero epochs to train, the
+    # restored history comes back, and nothing rewrote `last` — a fresh
+    # restart would have re-trained 2 epochs and rmtree'd the .old
+    assert [h["epoch"] for h in hist] == [0, 1]
+    assert not os.path.isdir(last)
+    assert os.path.isdir(last + ".old")
