@@ -161,10 +161,10 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv"):
 
 
 def bench_train3(jnp, jax, iters=10, B=8,
-                 remat=(("video", "save_attn_mlp"),
+                 remat=(("video", "save_attn_mlp_qkv"),
                         ("audio", "save_attn_mlp_kern"),
                         ("language", "save_attn_mlp")),
-                 accum_steps=1):
+                 accum_steps=1, frozen_bf16=True):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
     per-tower remat is the measured-best config on one 16 GB chip: at
@@ -174,7 +174,12 @@ def bench_train3(jnp, jax, iters=10, B=8,
     outputs (save_attn_mlp_kern — 399.0 -> 395.8 ms/step vs uniform
     save_attn_mlp); the same policy on the VIDEO tower regresses 11%
     (instance count 8x higher), and audio={False,save_most} OOM next to
-    the video tower's saved activations. Sweep: docs/PERF.md."""
+    the video tower's saved activations. The VIDEO tower keeps its SPATIAL
+    q/k/v too (save_attn_mlp_qkv — temporal qkv tagged 'tqkv' stays
+    rematerialized): the backward skips the ln1+qkv replay, 392.8 ->
+    385.5 ms/step same-session, which only fits with --frozen_bf16
+    storage of the frozen partition (bit-identical under bf16 compute,
+    tests/test_frozen_bf16.py). Sweep: docs/PERF.md."""
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
@@ -188,6 +193,9 @@ def bench_train3(jnp, jax, iters=10, B=8,
     cfg = ModelConfig(towers=towers, fusion=fusion,
                       compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
+    if frozen_bf16:
+        from missm_tpu.train.trainability import cast_frozen_params
+        params = cast_frozen_params(params, cfg)
     state, tx = init_train_state(params, cfg)
     step = make_train_step(cfg, tx, accum_steps=accum_steps)
 

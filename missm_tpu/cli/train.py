@@ -73,6 +73,13 @@ def main(argv=None):
                   "fusion": params["fusion"]}
         teacher_fusion = tree["params"]["fusion"]
 
+    if getattr(args, "frozen_bf16", False):
+        # bit-identical under --bf16 (model_forward casts the encoder tree
+        # to bf16 in-jit regardless); drops the frozen partition's unread
+        # f32 master copy — HBM headroom for richer --remat policies
+        from ..train.trainability import cast_frozen_params
+        params = cast_frozen_params(params, cfg)
+
     params = partition_params(params, mesh, tp=args.mesh_model > 1,
                               fsdp=getattr(args, "fsdp", False),
                               pipe=getattr(args, "mesh_pipe", 1) > 1)

@@ -33,7 +33,8 @@ def _bool(v):
 
 
 _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
-                   "save_attn_mlp_qkv", "save_most")
+                   "save_attn_mlp_qkv", "save_attn_mlp_qkv_kern",
+                   "save_most")
 
 
 def _remat_value(val):
@@ -147,6 +148,12 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "directory — Perfetto / TensorBoard-profile "
                         "viewable")
     p.add_argument("--bf16", type=_bool, default=True)
+    p.add_argument("--frozen_bf16", action="store_true",
+                   help="store the FROZEN (non-LoRA vision-block) param "
+                        "partition in bf16 — bit-identical under bf16 "
+                        "compute (the forward casts the encoder tree to "
+                        "bf16 anyway) and frees ~1.2 GB/ViT-L tower of "
+                        "HBM for richer --remat policies; requires --bf16")
     p.add_argument("--uint8_upload", type=_bool, default=False,
                    help="ship resized image/video batches to the device as "
                         "uint8 (1 byte/px, 4x fewer tunnel/PCIe bytes than "

@@ -329,12 +329,23 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
             policy = checkpoint_policies.save_only_these_names(
                 "attn_out", "mlp_wide", "attn_kernel_out")
         elif remat == "save_attn_mlp_qkv":
-            # additionally keep the q/k/v projection outputs: the
+            # additionally keep the SPATIAL q/k/v projection outputs: the
             # attention-kernel VJP consumes them, so the backward skips
             # the ln1 + qkv matmul replay (~103 GFLOP/layer at 64 ViT-L
             # instances) at ~3x attn_out's memory (ops.attention._qkv).
+            # Temporal qkv is tagged 'tqkv' and deliberately NOT saved —
+            # it doubles the footprint at video shapes and OOM'd B=8
+            # (ops.attention.short_attention).
             policy = checkpoint_policies.save_only_these_names(
                 "attn_out", "mlp_wide", "qkv")
+        elif remat == "save_attn_mlp_qkv_kern":
+            # qkv AND the pre-out-projection kernel output: the backward
+            # neither replays ln1+qkv nor the forward attention kernel
+            # (which save_attn_mlp_qkv alone still replays — attn_kernel_out
+            # feeds the out projection's LoRA da/db). +~0.8 GB over qkv at
+            # 64 ViT-L instances; sized for the image b64 config.
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "qkv", "attn_kernel_out")
         elif remat == "save_most":
             policy = checkpoint_policies.save_anything_except_these_names(
                 "mlp_wide", "mlp_wide_act")

@@ -24,6 +24,14 @@ def _qkv(t):
     return checkpoint_name(t, "qkv")
 
 
+def _tqkv(t):
+    """Temporal-attention q/k/v tag (see short_attention): a distinct name
+    so remat policies can save the spatial qkv without also paying for the
+    temporal one."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(t, "tqkv")
+
+
 def multi_head_attention(params, x, *, num_heads: int, bias=None,
                          causal: bool = False, key_bias=None,
                          lora_scaling: float | None = None):
@@ -128,9 +136,14 @@ def short_attention(params, x, *, num_heads: int,
         return multi_head_attention(params, x, num_heads=num_heads,
                                     lora_scaling=lora_scaling)
 
-    q = _qkv(linear(params["q"], x, lora_scaling=lora_scaling))
-    k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
-    v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
+    # Tagged 'tqkv', NOT 'qkv': the save_attn_mlp_qkv remat policy saves
+    # spatial/sequence qkv only. Saving the temporal qkv too doubles the
+    # policy's footprint at video shapes (temporal tokens B*N*T == spatial
+    # tokens B*T*N) and pushed the B=8 video tower out of HBM; the spatial
+    # stack is where the replay savings are (docs/PERF.md train3 sweep).
+    q = _tqkv(linear(params["q"], x, lora_scaling=lora_scaling))
+    k = _tqkv(linear(params["k"], x, lora_scaling=lora_scaling))
+    v = _tqkv(linear(params["v"], x, lora_scaling=lora_scaling))
 
     pack = pack_to // T
     full = (M // pack) * pack

@@ -45,6 +45,34 @@ def param_labels(params, cfg: ModelConfig):
     return labels
 
 
+def cast_frozen_params(params, cfg: ModelConfig, dtype="bfloat16"):
+    """Store the FROZEN partition's floating leaves in `dtype` (--frozen_bf16).
+
+    Bit-identical under bf16 compute: model_forward casts the whole encoder
+    tree to the compute dtype inside jit anyway (finetune.py::_cast_tree),
+    so a frozen leaf stored bf16 yields exactly the same cast value — this
+    only drops the f32 master copy nobody reads (~1.2 GB per frozen ViT-L
+    tower), buying HBM headroom for richer remat policies (docs/PERF.md,
+    train3 save_attn_mlp_qkv). Only valid when cfg.compute_dtype matches:
+    in f32 compute mode the frozen weights ARE read at f32 and the cast
+    would change numerics, so this raises instead.
+    """
+    import jax.numpy as jnp
+    if cfg.compute_dtype != str(jnp.dtype(dtype)):
+        raise ValueError(
+            f"cast_frozen_params({dtype}) requires compute_dtype={dtype}; "
+            f"got {cfg.compute_dtype} — the forward would read the frozen "
+            "weights at reduced precision instead of just storing them so.")
+    labels = param_labels(params, cfg)
+
+    def cast(leaf, label):
+        if label == FROZEN and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(cast, params, labels)
+
+
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
 

@@ -46,6 +46,9 @@ def main():
     cfg = ModelConfig(towers=towers, fusion=fusion,
                       compute_dtype="bfloat16", remat=REMAT)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
+    if "frozen_bf16" in sys.argv[3:]:
+        from missm_tpu.train.trainability import cast_frozen_params
+        params = cast_frozen_params(params, cfg)
     state, tx = init_train_state(params, cfg)
     step = make_train_step(cfg, tx)
 

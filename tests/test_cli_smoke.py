@@ -26,7 +26,8 @@ def test_train_then_test_cli(workspace):
             "--modality_types", "language", "image",
             "--fusion_type", "sum", "--model_scale", "tiny", "--hash_tokenizer",
             "--init", "random", "--batch_size", "4",
-            "--num_epochs", "1", "--num_workers", "0"]
+            "--num_epochs", "1", "--num_workers", "0",
+            "--frozen_bf16"]  # also exercises the cast_frozen wiring
     best, hist = train_main(argv)
     assert len(hist) == 1
     assert os.path.isdir("./final_model/mvsa_sum")
