@@ -46,6 +46,51 @@ def test_mesh_topology_path_covers_all_devices():
     assert got == {d.id for d in jax.devices()}
 
 
+def test_hybrid_shapes():
+    """Multi-slice layouts: only the data axis spans DCN; model/pipe must
+    fit inside a slice; uneven data splits are rejected."""
+    from missm_tpu.core.mesh import hybrid_shapes
+    assert hybrid_shapes(8, 1, 1, 2) == ((4, 1), (2, 1))
+    assert hybrid_shapes(8, 2, 1, 4) == ((2, 2), (4, 1))
+    assert hybrid_shapes(8, 2, 2, 2) == ((4, 2, 2), (2, 1, 1))
+    assert hybrid_shapes(6, 1, 1, 4) is None  # 6 % 4 != 0
+    assert hybrid_shapes(8, 1, 1, 1) is None  # single slice: not hybrid
+
+
+def test_topology_grid_routes_multislice_to_hybrid(monkeypatch):
+    """Devices reporting distinct slice_index route through
+    create_hybrid_device_mesh with the data axis on DCN."""
+    import numpy as np
+
+    from jax.experimental import mesh_utils
+
+    from missm_tpu.core.mesh import _topology_grid
+
+    class FakeDev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]  # 2 slices of 4
+    calls = {}
+
+    def fake_hybrid(ici, dcn, devices=None):
+        calls["args"] = (tuple(ici), tuple(dcn), len(devices))
+        return np.array(devices, dtype=object).reshape(ici[0] * dcn[0],
+                                                       ici[1] * dcn[1])
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    grid = _topology_grid(devs, (8, 1), 8, 1, 1)
+    assert calls["args"] == ((4, 1), (2, 1), 8)
+    assert grid.shape == (8, 1)
+
+    # data axis that cannot split evenly over the slices: falls back
+    # (returns None) with a warning rather than silently interleaving
+    # DCN slices along the data axis
+    devs9 = [FakeDev(i, i // 5) for i in range(9)]  # slices of 5 and 4
+    with pytest.warns(UserWarning, match="topology-aware"):
+        assert _topology_grid(devs9, (9, 1), 9, 1, 1) is None
+
+
 def test_enable_compilation_cache_tmpdir(tmp_path):
     enable_compilation_cache(str(tmp_path / "cache"))
     assert (tmp_path / "cache").is_dir()
