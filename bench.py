@@ -115,12 +115,15 @@ def bench_eval(jnp, jax, iters=20, B=64):
     return B * iters / dt
 
 
-def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv"):
+def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv",
+                frozen_bf16=False):
     """save_attn_mlp_qkv additionally keeps the q/k/v projection outputs
     (+2.4 GB at b64, fits): the backward skips the ln1+qkv replay —
     254.8 -> 259.0 samples/s/chip vs save_attn_mlp (min-of-3, same
     session; scripts/train_remat_ab.py). The same policy OOMs for the
-    train3 video tower (which also carries temporal-attention saves)."""
+    train3 video tower (which also carries temporal-attention saves).
+    frozen_bf16 measured neutral here (b64 fits with f32 masters and the
+    policy is not memory-bound) — kept a knob for A/B probes only."""
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
@@ -133,6 +136,9 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv"):
     cfg = ModelConfig(towers=towers, fusion=fusion,
                       compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
+    if frozen_bf16:
+        from missm_tpu.train.trainability import cast_frozen_params
+        params = cast_frozen_params(params, cfg)
     state, tx = init_train_state(params, cfg)
     step = make_train_step(cfg, tx)
 

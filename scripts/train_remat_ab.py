@@ -20,8 +20,12 @@ def main():
 
     policies = sys.argv[1:] or ["save_attn_mlp", "save_attn_mlp_qkv"]
     for pol in policies:
-        r = bench.bench_train(jnp, jax, remat=pol)
-        print(f"train b64 remat={pol}: {r:.1f} samples/s/chip", flush=True)
+        # "policy:frozen" suffix A/Bs --frozen_bf16 param storage too
+        pol, _, flag = pol.partition(":")
+        fb16 = flag == "frozen"
+        r = bench.bench_train(jnp, jax, remat=pol, frozen_bf16=fb16)
+        tag = f"remat={pol}" + (" +frozen_bf16" if fb16 else "")
+        print(f"train b64 {tag}: {r:.1f} samples/s/chip", flush=True)
 
 
 if __name__ == "__main__":
