@@ -110,7 +110,22 @@ def embed_only(params, cfg: ModelConfig, data: Mapping):
     """Encoder-only pass (the statistics pass of test.py:98-115). Threads
     cfg.pipe like model_forward: under --mesh_pipe the block params are
     stage-sharded, and an unpipelined scan would make GSPMD all-gather
-    every stage's layers onto every device."""
-    data = _dequantize_tree(data, jnp.float32)
-    return encode(params["encoder"], cfg.tower_dict, data,
-                  use_temp=cfg.use_temp, pipe=cfg.pipe)
+    every stage's layers onto every device.
+
+    Runs the encoder at cfg.compute_dtype exactly like model_forward (and
+    returns f32 embeddings like model_forward hands the fusion head): the
+    statistic buffers impute EVAL-time embeddings, so they must be
+    computed under the precision eval actually sees — and the cast is
+    what keeps --frozen_bf16 storage bit-identical on this path too (a
+    stored-dtype read here would consult the f32 masters the flag drops).
+    """
+    dt = jnp.dtype(cfg.compute_dtype)
+    enc_params = params["encoder"]
+    data = _dequantize_tree(data, dt)
+    if cfg.compute_dtype != "float32":
+        enc_params = _cast_tree(enc_params, dt)
+        data = {k: (_cast_tree(v, dt) if k != "language" else v)
+                for k, v in data.items()}
+    embeds = encode(enc_params, cfg.tower_dict, data,
+                    use_temp=cfg.use_temp, pipe=cfg.pipe)
+    return {k: v.astype(jnp.float32) for k, v in embeds.items()}

@@ -349,6 +349,12 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
         elif remat == "save_most":
             policy = checkpoint_policies.save_anything_except_these_names(
                 "mlp_wide", "mlp_wide_act")
+        elif remat is not True:
+            # raw-string callers (bench kwargs, probe scripts) bypass the
+            # argparse validation — an unknown policy must not silently
+            # measure full-remat performance
+            raise ValueError(f"unknown remat policy {remat!r}; expected "
+                             "True or one of compat.args._REMAT_POLICIES")
         run = jax.checkpoint(run, policy=policy)
     return run(p, x)
 

@@ -14,27 +14,35 @@ import jax.numpy as jnp
 from .basic import linear
 
 
-def _qkv(t):
+def _named(t, name):
+    """checkpoint_name shim: a no-op outside jax.checkpoint or under remat
+    policies that don't save `name`."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(t, name)
+
+
+def _qkv(t, name="qkv"):
     """Tag a q/k/v projection output for the 'save_attn_mlp_qkv' remat
     policy (models.tower): saving these lets the backward feed the
     attention-kernel VJP directly instead of replaying ln1 + the qkv
-    matmuls (~103 GFLOP/layer at 64 ViT-L instances). No-op outside
-    jax.checkpoint or under policies that don't name 'qkv'."""
-    from jax.ad_checkpoint import checkpoint_name
-    return checkpoint_name(t, "qkv")
+    matmuls (~103 GFLOP/layer at 64 ViT-L instances). Temporal attention
+    tags 'tqkv' instead (see short_attention) so policies can save the
+    spatial qkv without also paying for the temporal one — that holds on
+    EVERY path, including the einsum fallback (qkv_tag below)."""
+    return _named(t, name)
 
 
 def _tqkv(t):
     """Temporal-attention q/k/v tag (see short_attention): a distinct name
     so remat policies can save the spatial qkv without also paying for the
     temporal one."""
-    from jax.ad_checkpoint import checkpoint_name
-    return checkpoint_name(t, "tqkv")
+    return _named(t, "tqkv")
 
 
 def multi_head_attention(params, x, *, num_heads: int, bias=None,
                          causal: bool = False, key_bias=None,
-                         lora_scaling: float | None = None):
+                         lora_scaling: float | None = None,
+                         qkv_tag: str = "qkv"):
     """Self-attention over x: [B, N, D] -> [B, N, D].
 
     bias: optional additive attention bias broadcastable to [B, H, N, N].
@@ -52,14 +60,16 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     hd = D // H
     scale = hd ** -0.5
 
-    q = _qkv(linear(params["q"], x, lora_scaling=lora_scaling))
+    q = _qkv(linear(params["q"], x, lora_scaling=lora_scaling), qkv_tag)
 
     if bias is None and (causal or key_bias is not None) and _fused_ok(hd, N):
         from ..kernels.flash_attention import (causal_available,
                                                fused_attention_causal_ad)
         if causal and causal_available(H, hd, N):
-            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
-            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
+            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling),
+                     qkv_tag)
+            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling),
+                     qkv_tag)
             kb = (key_bias if key_bias is not None
                   else jnp.zeros((B, 1, N), jnp.float32))
             out = fused_attention_causal_ad(q, k, v, kb, H)
@@ -76,19 +86,21 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
             # single CLS column folds in on the VPU — removes the
             # 257->384 lane-tile padding (~1.5x MXU waste, docs/PERF.md)
             k_cls = _qkv(linear(params["k"], x[:, :1],
-                                lora_scaling=lora_scaling))
+                                lora_scaling=lora_scaling), qkv_tag)
             k_main = _qkv(linear(params["k"], x[:, 1:],
-                                 lora_scaling=lora_scaling))
+                                 lora_scaling=lora_scaling), qkv_tag)
             v_cls = _qkv(linear(params["v"], x[:, :1],
-                                lora_scaling=lora_scaling))
+                                lora_scaling=lora_scaling), qkv_tag)
             v_main = _qkv(linear(params["v"], x[:, 1:],
-                                 lora_scaling=lora_scaling))
+                                 lora_scaling=lora_scaling), qkv_tag)
             out = fused_attention_cls_ad(q, k_cls, k_main, v_cls, v_main, H)
         else:
             # fused kernel consumes/produces the natural [B, N, D] layout —
             # no head transposes materialize
-            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling))
-            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling))
+            k = _qkv(linear(params["k"], x, lora_scaling=lora_scaling),
+                     qkv_tag)
+            v = _qkv(linear(params["v"], x, lora_scaling=lora_scaling),
+                     qkv_tag)
             out = fused_attention_ad(q, k, v, H)
     else:
         if causal:
@@ -133,8 +145,13 @@ def short_attention(params, x, *, num_heads: int,
     hd = D // num_heads
     if (not _fused_ok(hd, pack_to) or T >= pack_to or pack_to % T != 0
             or M < pack_to // T):
+        # qkv_tag='tqkv': the fallback must keep the temporal tag too, or
+        # shapes that miss the packed path (T not dividing pack_to,
+        # hd % 64 != 0) would silently re-save temporal qkv under
+        # save_attn_mlp_qkv — the doubled footprint the split prevents
         return multi_head_attention(params, x, num_heads=num_heads,
-                                    lora_scaling=lora_scaling)
+                                    lora_scaling=lora_scaling,
+                                    qkv_tag="tqkv")
 
     # Tagged 'tqkv', NOT 'qkv': the save_attn_mlp_qkv remat policy saves
     # spatial/sequence qkv only. Saving the temporal qkv too doubles the

@@ -23,6 +23,10 @@ from missm_tpu.models.fusion import FusionConfig
 from missm_tpu.train.step import init_train_state, make_train_step
 
 ITERS = 5
+# frozen_bf16 is recognized anywhere on the command line (and removed
+# before positional parsing — it must never be consumed as B or REMAT)
+FROZEN_BF16 = "frozen_bf16" in sys.argv[1:]
+sys.argv = [a for a in sys.argv if a != "frozen_bf16"]
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 # save_attn_mlp's saved fc1 pre-activations are 24*(8B)*257*4096*2B for the
 # video tower — 6 GB at B=16 (OOM w/ XLA remat-compression copy pairs);
@@ -30,10 +34,12 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 REMAT = sys.argv[2] if len(sys.argv) > 2 else True
 if REMAT == "True":
     REMAT = True
-elif isinstance(REMAT, str) and "=" in REMAT:
-    # per-modality spec, e.g. "video=save_attn_mlp,audio=save_attn_mlp_kern"
-    from missm_tpu.compat.args import _remat
-    REMAT = _remat(REMAT)
+elif isinstance(REMAT, str):
+    # routes through the CLI parser either way so a typo'd policy or a
+    # stray argument in the REMAT slot errors instead of silently
+    # measuring something else (uniform policies are validated too)
+    from missm_tpu.compat.args import _remat, _remat_value
+    REMAT = _remat(REMAT) if "=" in REMAT else _remat_value(REMAT)
 
 
 def main():
@@ -46,7 +52,7 @@ def main():
     cfg = ModelConfig(towers=towers, fusion=fusion,
                       compute_dtype="bfloat16", remat=REMAT)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
-    if "frozen_bf16" in sys.argv[3:]:
+    if FROZEN_BF16:
         from missm_tpu.train.trainability import cast_frozen_params
         params = cast_frozen_params(params, cfg)
     state, tx = init_train_state(params, cfg)

@@ -22,7 +22,11 @@ def main():
     for pol in policies:
         # "policy:frozen" suffix A/Bs --frozen_bf16 param storage too
         pol, _, flag = pol.partition(":")
-        fb16 = flag == "frozen"
+        if flag not in ("", "frozen", "frozen_bf16"):
+            raise SystemExit(f"unknown suffix ':{flag}' (use ':frozen')")
+        fb16 = bool(flag)
+        # pol itself is validated inside _block_forward (unknown policy
+        # strings raise instead of silently measuring full remat)
         r = bench.bench_train(jnp, jax, remat=pol, frozen_bf16=fb16)
         tag = f"remat={pol}" + (" +frozen_bf16" if fb16 else "")
         print(f"train b64 {tag}: {r:.1f} samples/s/chip", flush=True)

@@ -26,8 +26,6 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
-import jax.numpy as jnp  # noqa: E402
-
 
 def main():
     from jax.sharding import PartitionSpec as P

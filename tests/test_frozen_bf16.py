@@ -109,6 +109,31 @@ def test_frozen_bf16_train_step_parity():
                                   np.asarray(w16))
 
 
+def test_embed_only_frozen_bf16_parity():
+    """The test-CLI statistics pass (embed_only) must ALSO be bit-identical
+    under --frozen_bf16: it runs the encoder at compute_dtype exactly like
+    model_forward, so the stored-bf16 frozen leaves read the same values
+    the f32 masters would have cast to. (Regression: embed_only used to
+    read params at stored dtype, silently changing concat_mean/median
+    imputation statistics for frozen-bf16-trained models.)"""
+    from missm_tpu.models.finetune import embed_only
+
+    cfg = _cfg()
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, _, _ = tiny_batch()
+
+    outs = []
+    for frozen_bf16 in (False, True):
+        params = jax.tree_util.tree_map(lambda x: x + 0.0, base)
+        if frozen_bf16:
+            params = cast_frozen_params(params, cfg)
+        outs.append(jax.jit(lambda p, d: embed_only(p, cfg, d))(params, data))
+    for m in outs[0]:
+        assert outs[0][m].dtype == jnp.float32  # statistics buffers are f32
+        np.testing.assert_array_equal(np.asarray(outs[0][m]),
+                                      np.asarray(outs[1][m]), err_msg=m)
+
+
 def test_cast_frozen_requires_bf16_compute():
     towers = (("image", tiny_tower("image")),)
     fusion = FusionConfig(fusion_type="sum",

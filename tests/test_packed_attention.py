@@ -63,3 +63,44 @@ def test_short_attention_cpu_fallback_matches(rng):
     a = short_attention(params, x, num_heads=heads)
     b = multi_head_attention(params, x, num_heads=heads)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def _checkpoint_names(jaxpr):
+    """All checkpoint_name tags in a (closed) jaxpr, recursively."""
+    names = []
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "name":
+            names.append(eqn.params["name"])
+        for v in eqn.params.values():
+            if hasattr(v, "eqns"):
+                names.extend(_checkpoint_names(v))
+            elif hasattr(v, "jaxpr"):
+                names.extend(_checkpoint_names(v.jaxpr))
+    return names
+
+
+def test_temporal_qkv_tag_on_every_path(rng):
+    """Temporal attention must tag its q/k/v 'tqkv' (never 'qkv') on BOTH
+    the packed path and the einsum fallback: a fallback shape (T not
+    dividing pack_to) that re-tagged 'qkv' would silently re-save temporal
+    qkv under save_attn_mlp_qkv — the doubled-footprint OOM the split tag
+    exists to prevent."""
+    from missm_tpu.ops.attention import short_attention
+
+    heads, hd = 2, 64
+    D = heads * hd
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    params = {}
+    for i, name in enumerate(("q", "k", "v", "out")):
+        params[name] = {
+            "w": jax.random.normal(keys[2 * i], (D, D)) * 0.1,
+            "b": jax.random.normal(keys[2 * i + 1], (D,)) * 0.1,
+        }
+    # T=8 divides 128 -> packed path; T=6 does not -> einsum fallback
+    for T, M in ((8, 16), (6, 16)):
+        x = jnp.asarray(rng.standard_normal((M, T, D)).astype(np.float32))
+        jaxpr = jax.make_jaxpr(
+            lambda p, x: short_attention(p, x, num_heads=heads))(params, x)
+        names = _checkpoint_names(jaxpr.jaxpr)
+        assert "tqkv" in names, (T, names)
+        assert "qkv" not in names, (T, names)

@@ -354,6 +354,22 @@ def test_loss_parity_vs_torch():
     assert got_m == pytest.approx(ref_m, rel=1e-5)
 
 
+def test_block_forward_rejects_unknown_policy_string():
+    """Raw-string remat callers (bench kwargs, probe scripts) bypass the
+    argparse validation; _block_forward must raise on an unknown policy
+    instead of silently measuring full-remat performance."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_model_cfg("sum"), remat="save_attn_mlp_qvk")
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = tiny_batch()
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        jax.jit(lambda p: model_forward(p, cfg, data, missing,
+                                        train=True,
+                                        rng=jax.random.PRNGKey(0))
+                ).lower(params)
+
+
 def test_per_modality_remat_matches_uniform():
     """Remat is a recompute schedule, not math: a per-modality remat spec
     (models.encoder._remat_for, --remat "video=...,audio=..." in
