@@ -12,6 +12,11 @@ full - novideo  = the video tower's backward cost
 full - noaudio  = the audio tower's backward cost
 
 Run with an absolute path; bootstraps sys.path. Args: [variants...]
+plus optional `remat=<spec>` (uniform or per-tower, routed through the
+CLI validators; default = the bench_train3 config) and `frozen_bf16`
+(bf16 storage for the frozen partition, also the bench default) and
+`B=<n>` — so attribution can be measured under exactly the headline
+configuration.
 """
 import os
 import sys
@@ -33,6 +38,23 @@ from missm_tpu.train.trainability import FROZEN, TRAIN, param_labels
 
 ITERS = 5
 B = 8
+REMAT = (("video", "save_attn_mlp_qkv"), ("audio", "save_attn_mlp_kern"))
+FROZEN_BF16 = True
+_args = []
+for _a in sys.argv[1:]:
+    if _a.startswith("remat="):
+        from missm_tpu.compat.args import _remat, _remat_value
+        _spec = _a[len("remat="):]
+        REMAT = _remat(_spec) if "=" in _spec else _remat_value(_spec)
+    elif _a.startswith("B="):
+        B = int(_a[2:])
+    elif _a == "frozen_bf16":
+        FROZEN_BF16 = True
+    elif _a == "no_frozen_bf16":
+        FROZEN_BF16 = False
+    else:
+        _args.append(_a)
+sys.argv = [sys.argv[0]] + _args
 
 
 def _timed(tag, loop, *args):
@@ -54,8 +76,13 @@ def main():
                           modality_types=("language", "video", "audio"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
     cfg = ModelConfig(towers=towers, fusion=fusion,
-                      compute_dtype="bfloat16", remat="save_attn_mlp")
+                      compute_dtype="bfloat16", remat=REMAT)
+    print(f"config: B={B} remat={REMAT!r} frozen_bf16={FROZEN_BF16}",
+          flush=True)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
+    if FROZEN_BF16:
+        from missm_tpu.train.trainability import cast_frozen_params
+        params = cast_frozen_params(params, cfg)
 
     rng = np.random.default_rng(0)
     ids = np.full((B, 77), 49407, np.int32)
