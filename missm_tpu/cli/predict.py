@@ -23,15 +23,18 @@ def main(argv=None):
     raw = list(argv if argv is not None else sys.argv[1:])
     split = "test"
     output = "predictions.csv"
-    for flag, default in (("--split", split), ("--output", output)):
+    artifact = None
+    for flag in ("--split", "--output", "--artifact"):
         if flag in raw:
             i = raw.index(flag)
             val = raw[i + 1]
             del raw[i:i + 2]
             if flag == "--split":
                 split = val
-            else:
+            elif flag == "--output":
                 output = val
+            else:
+                artifact = val
     args = test_args(raw)
 
     mesh = setup_mesh(args)
@@ -45,17 +48,38 @@ def main(argv=None):
     ds = MMDataset(spec, sub, "/".join(args.csv_path.split("/")[:-1]),
                    labels[df["mode"] == split], split, False)
 
-    cfg = build_model_config(args, num_classes, mesh=mesh)
-    ckpt = os.path.join(args.model_ckpt_dir,
-                        f"{args.datasetName}_{args.fusion_type}")
-    tree, _ = restore_checkpoint(ckpt)
-
-    pred = Predictor(tree["params"], cfg, batch_size=args.batch_size,
-                     tokenizer=make_tokenizer(args),
-                     media_loaders=make_loader_fns(args),
-                     device_put=make_device_put(mesh, cast_bf16=args.bf16))
     samples = [ds[i][0] for i in range(len(ds))]
-    preds, probs = pred.predict(samples)
+    if artifact is not None:
+        # hermetic path: the StableHLO artifact carries the model and
+        # params — no checkpoint restore, no model config, no jit
+        from ..eval.artifact import load_artifact
+        art = load_artifact(artifact)
+        tokenizer, loaders = make_tokenizer(args), make_loader_fns(args)
+        preds, probs = [], []
+        for i in range(0, len(samples), art.batch_size):
+            chunk = samples[i:i + art.batch_size]
+            data = {}
+            for m in art.manifest["modality_types"]:
+                col = [s[m] for s in chunk]
+                data[m] = (tokenizer(list(col)) if m == "language"
+                           else np.stack([np.asarray(loaders[m](x))
+                                          for x in col]))
+            p, pr = art.predict_arrays(data)
+            preds.append(p)
+            probs.append(pr)
+        preds, probs = np.concatenate(preds), np.concatenate(probs)
+    else:
+        cfg = build_model_config(args, num_classes, mesh=mesh)
+        ckpt = os.path.join(args.model_ckpt_dir,
+                            f"{args.datasetName}_{args.fusion_type}")
+        tree, _ = restore_checkpoint(ckpt)
+
+        pred = Predictor(tree["params"], cfg, batch_size=args.batch_size,
+                         tokenizer=make_tokenizer(args),
+                         media_loaders=make_loader_fns(args),
+                         device_put=make_device_put(mesh,
+                                                    cast_bf16=args.bf16))
+        preds, probs = pred.predict(samples)
 
     out = pd.DataFrame({
         "index": np.arange(len(ds)),
