@@ -24,10 +24,13 @@ cannot elide or batch the steps.
 
 Workloads (LanguageBind-Large scale, bf16, random modality-dropout codes):
 - eval:  ViT-L/14 image tower + CLIP text tower + sum fusion, batch 64
-- train: same model, Adam, LoRA-frozen base, save_attn_mlp remat, batch 64
+- train: same model, Adam, LoRA-frozen base, save_attn_mlp_qkv remat,
+  batch 64
 - eval3: video (8-frame + temporal attn) + audio (112x1036 mel) +
   language towers + sum fusion, batch 16
-- train3: the eval3 model's train step (Adam, LoRA-frozen bases), batch 8
+- train3: the eval3 model's train step (Adam, LoRA-frozen bf16 bases,
+  per-tower remat video=save_attn_mlp_qkv / audio=save_attn_mlp_kern),
+  batch 8
 """
 from __future__ import annotations
 
