@@ -148,9 +148,17 @@ def enable_cache():
 
 def maybe_init_distributed(args):
     """Multi-host startup: the NCCL `init_process_group` equivalent
-    (reference train_ddp.py:145) is `jax.distributed.initialize`, reading
-    the coordinator/process env that the TPU launcher provides."""
-    if getattr(args, "distributed", False):
+    (reference train_ddp.py:145) is `jax.distributed.initialize` — either
+    from the launcher env (--distributed true) or from an explicit
+    (coordinator, num_processes, process_id) triple (--distributed
+    host:port,N,i — the `env://` rendezvous analogue, parsed loudly by
+    compat.args._distributed)."""
+    dist = getattr(args, "distributed", False)
+    if isinstance(dist, tuple):
+        addr, num, pid = dist
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=num, process_id=pid)
+    elif dist:
         jax.distributed.initialize()
 
 

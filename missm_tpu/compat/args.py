@@ -32,6 +32,34 @@ def _bool(v):
     return str(v).lower() in ("1", "true", "yes")
 
 
+def _distributed(v):
+    """--distributed value: a bool ('true' = initialize from the launcher
+    env) or an explicit 'coordinator_ip:port,num_processes,process_id'
+    rendezvous triple. A malformed triple must be a loud parse error —
+    silently coercing it to False would run single-host with no warning
+    (the torchrun-habit failure mode)."""
+    s = str(v).strip()
+    if "," not in s and ":" not in s:
+        return _bool(s)
+    parts = s.split(",")
+    if len(parts) != 3 or ":" not in parts[0]:
+        raise argparse.ArgumentTypeError(
+            f"--distributed {v!r}: expected true/false or "
+            f"'coordinator_ip:port,num_processes,process_id'")
+    addr, n, pid = (p.strip() for p in parts)
+    try:
+        n_i, pid_i = int(n), int(pid)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--distributed {v!r}: num_processes and process_id must be "
+            f"integers")
+    if n_i < 1 or not (0 <= pid_i < n_i):
+        raise argparse.ArgumentTypeError(
+            f"--distributed {v!r}: need num_processes >= 1 and "
+            f"0 <= process_id < num_processes")
+    return (addr, n_i, pid_i)
+
+
 _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
                    "save_attn_mlp_qkv", "save_attn_mlp_qkv_kern",
                    "save_most")
@@ -161,9 +189,12 @@ def _tpu_extras(p: argparse.ArgumentParser):
                         "step; quantize-after-resize bounds the input delta "
                         "at 0.5/255 (below bf16 rounding). Needs the native "
                         "resampler (make -C cpp)")
-    p.add_argument("--distributed", type=_bool, default=False,
-                   help="multi-host: jax.distributed.initialize() from env "
-                        "(JAX_COORDINATOR_ADDRESS etc.) before device use")
+    p.add_argument("--distributed", type=_distributed, default=False,
+                   help="multi-host rendezvous: 'true' reads the launcher "
+                        "env (JAX_COORDINATOR_ADDRESS etc.), or an explicit "
+                        "'coordinator_ip:port,num_processes,process_id' "
+                        "triple — either way jax.distributed.initialize() "
+                        "runs before device use")
 
 
 def train_args(argv=None) -> argparse.Namespace:
