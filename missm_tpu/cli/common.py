@@ -63,7 +63,8 @@ def build_model_config(args, num_classes: int, mesh=None) -> ModelConfig:
                              "before build_model_config)")
         from ..parallel import PipeConfig
         pipe = PipeConfig(mesh, n_pipe=n_pipe,
-                          microbatches=getattr(args, "pipe_microbatches", 0))
+                          microbatches=getattr(args, "pipe_microbatches", 0),
+                          schedule=getattr(args, "pipe_schedule", "gpipe"))
     return ModelConfig(towers=tuple(towers.items()), fusion=fusion,
                        remat=getattr(args, "remat", False),
                        compute_dtype=("bfloat16"

@@ -124,6 +124,14 @@ def _tpu_extras(p: argparse.ArgumentParser):
                    help="microbatches per pipelined call (0 = mesh_pipe, "
                         "the minimum; more shrinks the (S-1)/(M+S-1) "
                         "bubble at smaller per-microbatch shapes)")
+    p.add_argument("--pipe_schedule", type=str, default="gpipe",
+                   choices=["gpipe", "1f1b"],
+                   help="pipeline schedule: gpipe (autodiff backward — "
+                        "all M microbatches' residuals live) or 1f1b "
+                        "(memory-capped custom-VJP backward: only stage "
+                        "INPUTs saved, ~L/S times fewer live activations "
+                        "per stage; same bubble, same math — "
+                        "docs/PERF.md)")
     p.add_argument("--model_scale", type=str, default="large",
                    choices=["large", "tiny"])
     p.add_argument("--init", type=str, default="checkpoint",

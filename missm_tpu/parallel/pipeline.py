@@ -70,20 +70,39 @@ class PipeConfig:
 
     microbatches = 0 means `n_pipe` (the minimum that keeps every stage
     busy in steady state); larger values shrink the bubble at the cost of
-    smaller per-microbatch shapes."""
+    smaller per-microbatch shapes.
+
+    schedule: 'gpipe' (autodiff through the forward schedule — saves
+    every tick's residuals, so live activations scale with M·L/S per
+    stage) or '1f1b' (memory-capped backward: only the M per-stage INPUT
+    activations are saved; the backward is a hand-scheduled reverse
+    pipeline that recomputes one microbatch at a time — live residuals
+    per stage drop from ~(L/S)·B rows to ~B rows, the cap 1F1B exists
+    for). Same bubble, same math; see pipeline_blocks."""
     mesh: Mesh
     n_pipe: int
     microbatches: int = 0
+    schedule: str = "gpipe"
 
     @property
     def m(self) -> int:
         return self.microbatches or self.n_pipe
 
 
+def _psum_pipe(x):
+    """psum over the pipe axis, with the f32 detour XLA:CPU needs: its
+    AllReducePromotion pass CHECK-crashes on 16-bit all-reduces whose
+    cloned reduction grew a copy root (see _enter_pipe). The detour is
+    bitwise-identical where the summands are one real value + zeros."""
+    if jax.default_backend() == "cpu" and x.dtype != jnp.float32:
+        return jax.lax.psum(x.astype(jnp.float32), PIPE_AXIS).astype(x.dtype)
+    return jax.lax.psum(x, PIPE_AXIS)
+
+
 def pipeline_blocks(pipe: PipeConfig, blocks, x, extras=(), *, group: int = 1,
                     block_fn):
     """Run `block_fn` (the local layer scan) over `blocks` [L, ...] with a
-    GPipe schedule across the mesh's pipe axis.
+    pipeline schedule across the mesh's pipe axis.
 
     x: [B_rows, ...] activations (B_rows = B*T for temporal towers).
     extras: batch-aligned arrays (e.g. the text key bias) split into
@@ -91,6 +110,9 @@ def pipeline_blocks(pipe: PipeConfig, blocks, x, extras=(), *, group: int = 1,
     group: rows that must stay in one microbatch (the frame count T for
         temporal towers, whose block reshapes assume whole videos).
     block_fn(blocks_local, x_mb, *extras_mb) -> y_mb.
+
+    pipe.schedule picks 'gpipe' (autodiff through the schedule) or
+    '1f1b' (memory-capped custom-VJP backward, _pipeline_1f1b).
     """
     S = pipe.n_pipe
     M = pipe.m
@@ -103,6 +125,12 @@ def pipeline_blocks(pipe: PipeConfig, blocks, x, extras=(), *, group: int = 1,
             f"batch rows {rows} not divisible into {M} microbatches of "
             f"whole {group}-row groups (pipe_microbatches must divide the "
             f"per-call batch)")
+    if pipe.schedule == "1f1b":
+        return _pipeline_1f1b(pipe, blocks, x, tuple(extras),
+                              block_fn=block_fn)
+    if pipe.schedule != "gpipe":
+        raise ValueError(f"unknown pipe schedule {pipe.schedule!r}; "
+                         f"expected 'gpipe' or '1f1b'")
 
     def inner(blocks_local, x_full, *extras_full):
         r = jax.lax.axis_index(PIPE_AXIS)
@@ -141,18 +169,173 @@ def pipeline_blocks(pipe: PipeConfig, blocks, x, extras=(), *, group: int = 1,
         (_, outs), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
         # outputs are only real on the last stage; broadcast to all stages
         outs = jnp.where(r == S - 1, outs, jnp.zeros_like(outs))
-        if jax.default_backend() == "cpu" and outs.dtype != jnp.float32:
-            # XLA CPU's AllReducePromotion CHECK-crashes on 16-bit
-            # all-reduces whose cloned reduction grew a copy root (see
-            # _enter_pipe). The f32 detour is bitwise-identical here: the
-            # sum is one real value + (S-1) zeros per element.
-            outs = jax.lax.psum(outs.astype(jnp.float32), PIPE_AXIS)
-            outs = outs.astype(x_full.dtype)
-        else:
-            outs = jax.lax.psum(outs, PIPE_AXIS)
+        outs = _psum_pipe(outs)
         return outs.reshape(x_full.shape)
 
     in_specs = (P(PIPE_AXIS), P()) + (P(),) * len(extras)
     return jax.shard_map(inner, mesh=pipe.mesh, in_specs=in_specs,
                          out_specs=P(), axis_names={PIPE_AXIS})(
         blocks, x, *extras)
+
+
+def _pipeline_1f1b(pipe: PipeConfig, blocks, x, extras, *, block_fn):
+    """Memory-capped pipeline schedule (`--pipe_schedule 1f1b`).
+
+    GPipe-through-autodiff saves every tick's residuals: per stage,
+    ~M microbatches x (L/S) layer inputs (under full block remat; far
+    more without it) stay live until the backward — the very
+    depth-memory problem pipelining is meant to solve. Classic 1F1B
+    interleaves each microbatch's backward right after its forward to
+    cap live activations at ~S microbatches. In this model family the
+    loss is a full-batch function DOWNSTREAM of the pipelined stack
+    (pooling + fusion over all M microbatches), so cotangents for every
+    microbatch arrive together and fwd/bwd ticks cannot interleave —
+    but the memory cap 1F1B exists for is reachable anyway:
+
+    - forward (custom-VJP primal): the GPipe tick schedule, additionally
+      recording each stage's INPUT microbatches ([M, mb, ...] per stage
+      — the only activations that survive the forward).
+    - backward: a hand-scheduled REVERSE pipeline. At tick t, stage r
+      takes the cotangent for microbatch m = t-(S-1-r) (from downstream
+      at the last stage, from stage r+1's ppermute elsewhere),
+      recomputes its local layers from the saved stage input via
+      jax.vjp (one microbatch live at a time, the 1F1B property), and
+      sends the input-cotangent upstream. Bubble ticks contribute
+      masked zeros; block grads come back sharded P('pipe') exactly as
+      the gpipe path's.
+
+    Live residuals per stage: [M, mb, rows...] = one batch of stage
+    inputs, vs gpipe's ~(L/S)x that. FLOPs: one extra stage forward per
+    microbatch — identical to gpipe under remat=True block policies
+    (whose backward replays the same layers from the same inputs).
+    Math: same per-layer computation, same f32 cotangent reductions —
+    pinned identical to DP/gpipe by tests/test_pipeline.py."""
+    S = pipe.n_pipe
+    M = pipe.m
+    mesh = pipe.mesh
+    n_ex = len(extras)
+
+    def split(a):
+        return a.reshape((M, a.shape[0] // M) + a.shape[1:])
+
+    def _vary(t):
+        return jax.lax.pcast(t, (PIPE_AXIS,), to="varying")
+
+    def inner_fwd(blocks_local, x_full, *extras_full):
+        r = jax.lax.axis_index(PIPE_AXIS)
+        mb = x_full.shape[0] // M
+        x_mb = _vary(split(x_full))
+        ex_mb = tuple(_vary(split(e)) for e in extras_full)
+        # slot M is the garbage bin for bubble-tick writes; the backward
+        # reads ins[:M] only
+        ins0 = _vary(jnp.zeros((M + 1, mb) + x_full.shape[1:],
+                               x_full.dtype))
+
+        def tick(carry, t):
+            recv, outs, ins = carry
+            inp = jnp.where(r == 0, jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.minimum(t, M - 1), 0, keepdims=False), recv)
+            m = t - r
+            slot = jnp.where((m >= 0) & (m <= M - 1), jnp.clip(m, 0, M - 1),
+                             M)
+            ins = jax.lax.dynamic_update_index_in_dim(ins, inp, slot, 0)
+            midx = jnp.clip(m, 0, M - 1)
+            ex = tuple(jax.lax.dynamic_index_in_dim(e, midx, 0,
+                                                    keepdims=False)
+                       for e in ex_mb)
+            out = block_fn(blocks_local, inp, *ex)
+            recv_next = jax.lax.ppermute(
+                out, PIPE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            oidx = jnp.clip(t - (S - 1), 0, M - 1)
+            outs = jax.lax.dynamic_update_index_in_dim(outs, out, oidx, 0)
+            return (recv_next, outs, ins), None
+
+        init = (_vary(jnp.zeros((mb,) + x_full.shape[1:], x_full.dtype)),
+                _vary(jnp.zeros((M, mb) + x_full.shape[1:], x_full.dtype)),
+                ins0)
+        (_, outs, ins), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
+        outs = jnp.where(r == S - 1, outs, jnp.zeros_like(outs))
+        y = _psum_pipe(outs).reshape(x_full.shape)
+        return y, ins
+
+    def inner_bwd(blocks_local, ins, dy_full, *extras_full):
+        r = jax.lax.axis_index(PIPE_AXIS)
+        mb = dy_full.shape[0] // M
+        dy_mb = _vary(split(dy_full).astype(ins.dtype))
+        ex_mb = tuple(_vary(split(e)) for e in extras_full)
+
+        def block_call(b, xx, *ee):
+            return block_fn(b, xx, *ee)
+
+        def tick(carry, t):
+            recv, db_acc, dx_buf, dex_bufs = carry
+            m = t - (S - 1 - r)
+            valid = (m >= 0) & (m <= M - 1)
+            mi = jnp.clip(m, 0, M - 1)
+            g = jnp.where(r == S - 1, jax.lax.dynamic_index_in_dim(
+                dy_mb, jnp.clip(t, 0, M - 1), 0, keepdims=False), recv)
+            inp = jax.lax.dynamic_index_in_dim(ins, mi, 0, keepdims=False)
+            ee = tuple(jax.lax.dynamic_index_in_dim(e, mi, 0,
+                                                    keepdims=False)
+                       for e in ex_mb)
+            _, vjp_fn = jax.vjp(block_call, blocks_local, inp, *ee)
+            db, dxm, *dee = vjp_fn(g)
+            db_acc = jax.tree_util.tree_map(
+                lambda a, d: a + jnp.where(valid, d, jnp.zeros_like(d)),
+                db_acc, db)
+            slot = jnp.where(valid, mi, M)
+            dx_buf = jax.lax.dynamic_update_index_in_dim(dx_buf, dxm, slot,
+                                                         0)
+            dex_bufs = tuple(
+                jax.lax.dynamic_update_index_in_dim(a, d, slot, 0)
+                for a, d in zip(dex_bufs, dee))
+            send = jax.lax.ppermute(
+                dxm, PIPE_AXIS, [(i, (i - 1) % S) for i in range(S)])
+            return (send, db_acc, dx_buf, dex_bufs), None
+
+        init = (_vary(jnp.zeros((mb,) + ins.shape[2:], ins.dtype)),
+                jax.tree_util.tree_map(jnp.zeros_like, blocks_local),
+                jnp.zeros_like(ins),  # already varying (ins is sharded in)
+                tuple(_vary(jnp.zeros((M + 1,) + e.shape[1:], e.dtype))
+                      for e in ex_mb))
+        (_, db, dx_buf, dex_bufs), _ = jax.lax.scan(
+            tick, init, jnp.arange(M + S - 1))
+        # dx is real only on stage 0; per-extra cotangents sum over every
+        # stage (the extras feed all layers)
+        dx = _psum_pipe(jnp.where(r == 0, dx_buf[:M],
+                                  jnp.zeros_like(dx_buf[:M])))
+        dx = dx.reshape((dx.shape[0] * dx.shape[1],) + dx.shape[2:])
+        dex = tuple(
+            _psum_pipe(a[:M]).reshape((M * a.shape[1],) + a.shape[2:])
+            for a in dex_bufs)
+        return (db, dx) + dex
+
+    @jax.custom_vjp
+    def call(blocks, x, extras):
+        y, _ = jax.shard_map(
+            inner_fwd, mesh=mesh,
+            in_specs=(P(PIPE_AXIS), P()) + (P(),) * n_ex,
+            out_specs=(P(), P(PIPE_AXIS)), axis_names={PIPE_AXIS})(
+            blocks, x, *extras)
+        return y
+
+    def call_fwd(blocks, x, extras):
+        y, ins = jax.shard_map(
+            inner_fwd, mesh=mesh,
+            in_specs=(P(PIPE_AXIS), P()) + (P(),) * n_ex,
+            out_specs=(P(), P(PIPE_AXIS)), axis_names={PIPE_AXIS})(
+            blocks, x, *extras)
+        return y, (blocks, ins, extras)
+
+    def call_bwd(res, dy):
+        blocks_saved, ins, extras_saved = res
+        out = jax.shard_map(
+            inner_bwd, mesh=mesh,
+            in_specs=(P(PIPE_AXIS), P(PIPE_AXIS), P()) + (P(),) * n_ex,
+            out_specs=(P(PIPE_AXIS), P()) + (P(),) * n_ex,
+            axis_names={PIPE_AXIS})(blocks_saved, ins, dy, *extras_saved)
+        db, dx = out[0], out[1]
+        return db, dx, tuple(out[2:])
+
+    call.defvjp(call_fwd, call_bwd)
+    return call(blocks, x, tuple(extras))

@@ -12,17 +12,21 @@ import __graft_entry__ as ge
 
 
 def test_dryrun_layouts():
-    # 8 devices: DP, FSDP, DP x TP, DP x pipe — each (data, model, pipe)
-    # product must use at most 8 devices
+    # 8 devices: DP, FSDP, DP x TP, DP x pipe (both schedules) — each
+    # (data, model, pipe) product must use at most 8 devices
     layouts = ge._dryrun_layouts(8)
-    assert (8, 1, 1, False) in layouts and (8, 1, 1, True) in layouts
-    assert (4, 2, 1, False) in layouts and (4, 1, 2, False) in layouts
-    assert (2, 2, 2, False) in layouts  # full 3-axis composition
-    assert all(d * m * p <= 8 for d, m, p, _ in layouts)
+    assert (8, 1, 1, False, "gpipe") in layouts
+    assert (8, 1, 1, True, "gpipe") in layouts
+    assert (4, 2, 1, False, "gpipe") in layouts
+    assert (4, 1, 2, False, "gpipe") in layouts
+    assert (4, 1, 2, False, "1f1b") in layouts  # memory-capped schedule
+    assert (2, 2, 2, False, "gpipe") in layouts  # full 3-axis composition
+    assert all(d * m * p <= 8 for d, m, p, _, _ in layouts)
     # 4 devices: 2-way TP/pipe splits but no 3-axis (needs >= 8)
-    assert all(p == 1 or m == 1 for _, m, p, _ in ge._dryrun_layouts(4))
+    assert all(p == 1 or m == 1 for _, m, p, _, _ in ge._dryrun_layouts(4))
     # 2 devices: no TP/pipe splits (needs >= 4)
-    assert ge._dryrun_layouts(2) == [(2, 1, 1, False), (2, 1, 1, True)]
+    assert ge._dryrun_layouts(2) == [(2, 1, 1, False, "gpipe"),
+                                     (2, 1, 1, True, "gpipe")]
 
 
 def test_dryrun_retries_only_deadlocks(monkeypatch):
