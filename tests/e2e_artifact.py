@@ -1,0 +1,108 @@
+"""Shared runner for the end-to-end ACCURACY regression artifact.
+
+bench.py pins step rate; this pins LEARNING BEHAVIOR: a fixed-seed CPU
+run of the full reference workflow (train to early-stop on a synthetic
+mvsa tree with real JPEG media, then the complete missing-type x ratio
+eval sweep, reference test.py:119-171 semantics) reduced to a JSON
+metrics tree. scripts/e2e_accuracy_artifact.py commits the result as
+E2E_r{N}.json; tests/test_e2e_regression.py re-runs this and compares,
+so a numerics regression in any future kernel/remat/fusion change is a
+named CI failure instead of a bench-drift argument."""
+import json
+import os
+import subprocess
+import sys
+from typing import Tuple
+
+SEED = 42
+N_TRAIN, N_VALID, N_TEST = 24, 8, 12
+EPOCHS, PATIENCE, BATCH = 5, 2, 5
+
+CONFIG = {
+    "dataset": "mvsa(synthetic, real JPEG media)",
+    "split": [N_TRAIN, N_VALID, N_TEST],
+    "modalities": ["language", "image"],
+    "fusion_type": "sum",
+    "model_scale": "tiny",
+    "seed": SEED,
+    "batch_size": BATCH,
+    "num_epochs": EPOCHS,
+    "patience": PATIENCE,
+    "missing_types": ["language", "image", "mixed"],
+    "devices": 1,   # pinned: the trajectory depends on topology
+}
+
+
+def run_e2e(workdir: str) -> Tuple[list, dict]:
+    """Train + sweep in `workdir`; returns (train_history, metrics).
+
+    metrics: {test_type: {missing_type: {ratio: {loss, accuracy, f1,
+    auc}}}} with plain-float leaves (JSON-ready)."""
+    from missm_tpu.cli.test import main as test_main
+    from missm_tpu.cli.train import main as train_main
+    from tests.synthetic import make_mvsa_tree
+
+    data_root = os.path.join(workdir, "mvsa_multiple")
+    csv = make_mvsa_tree(data_root, n_train=N_TRAIN, n_valid=N_VALID,
+                         n_test=N_TEST, seed=0, write_media=True)
+    run_dir = os.path.join(workdir, "run")
+    os.makedirs(run_dir, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(run_dir)
+    try:
+        common = ["--datasetName", "mvsa", "--csv_path", csv,
+                  "--modality_types", "language", "image",
+                  "--fusion_type", "sum", "--model_scale", "tiny",
+                  "--init", "random", "--hash_tokenizer",
+                  "--seed", str(SEED)]
+        _, hist = train_main(common + [
+            "--batch_size", str(BATCH), "--num_epochs", str(EPOCHS),
+            "--patience", str(PATIENCE), "--num_workers", "0"])
+        results = test_main(common + [
+            "--test_types", "sum",
+            "--test_missing_type", "language", "image", "mixed",
+            "--batch_size", str(BATCH)])
+    finally:
+        os.chdir(cwd)
+
+    # learning-behavior fields only: the loop's timing fields (duty,
+    # step_ms, wall_s, ...) are machine-dependent and would make the
+    # comparison test flaky
+    keep = ("epoch", "train_loss", "val_loss", "val_accuracy", "val_f1",
+            "val_auc")
+    history = [{k: float(h[k]) for k in keep if k in h} for h in hist]
+    metrics = {
+        tt: {mt: {str(ratio): {k: float(v) for k, v in m.items()}
+                  for ratio, m in ratios.items()}
+             for mt, ratios in by_missing.items()}
+        for tt, by_missing in results.items()}
+    return history, metrics
+
+
+def run_e2e_pinned(workdir: str) -> Tuple[list, dict]:
+    """Run the e2e in a CHILD process pinned to ONE CPU device.
+
+    The trajectory depends on the device topology (--batch_size is
+    per-chip, so 8 virtual devices mean an 8x global batch) — the
+    artifact and every comparison run must use the identical topology,
+    and the pytest process carries the conftest's 8-device XLA_FLAGS."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    out_json = os.path.join(workdir, "e2e_out.json")
+    prog = (
+        "import jax, sys, json; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.path.insert(0, {repo!r}); "
+        "from tests.e2e_artifact import run_e2e; "
+        f"h, m = run_e2e({workdir!r}); "
+        f"json.dump({{'history': h, 'metrics': m}}, "
+        f"open({out_json!r}, 'w'))")
+    r = subprocess.run([sys.executable, "-c", prog], capture_output=True,
+                       text=True, timeout=1200, env=env, cwd=repo)
+    if r.returncode != 0:
+        raise RuntimeError(f"e2e child failed:\n{(r.stdout + r.stderr)[-3000:]}")
+    with open(out_json) as f:
+        out = json.load(f)
+    return out["history"], out["metrics"]
