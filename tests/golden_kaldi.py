@@ -52,3 +52,40 @@ def golden_fbank(waveform, sample_rate=16000, num_mel_bins=112,
     energies = spectrum @ banks.T
     eps = np.finfo(np.float32).eps
     return np.log(np.maximum(energies, eps))
+
+
+def verify_against_real_torchaudio(trials=8, seed=0):
+    """Regeneration / upgrade path (docs/MIGRATION.md "First network
+    access"): with torchaudio installed, compare this transcription
+    against the REAL `torchaudio.compliance.kaldi.fbank` at the
+    reference's arguments (audio/processing_audio.py:100-110). Run:
+
+        pip install torchaudio
+        python -m tests.golden_kaldi
+
+    Any disagreement means the transcription (and therefore the
+    missm_tpu.ops.melfbank pin) misread Kaldi — fix here, then re-run
+    tests/test_melfbank.py."""
+    import torch
+    import torchaudio.compliance.kaldi as kaldi
+
+    rng = np.random.default_rng(seed)
+    worst = 0.0
+    for _ in range(trials):
+        n = int(rng.integers(1600, 48000))
+        wav = rng.standard_normal(n).astype(np.float32)
+        ref = kaldi.fbank(
+            torch.as_tensor(wav)[None], htk_compat=True,
+            sample_frequency=16000, use_energy=False,
+            window_type="hanning", num_mel_bins=112, dither=0.0,
+            frame_length=25.0, frame_shift=10.0).numpy()
+        got = golden_fbank(wav, sample_rate=16000, num_mel_bins=112)
+        worst = max(worst, float(np.abs(ref - got).max()))
+    print(f"max |delta| vs real torchaudio fbank over {trials} clips: "
+          f"{worst:.2e}")
+    assert worst < 1e-3, "transcription disagrees with torchaudio/Kaldi"
+    print("GOLDEN VERIFIED against real torchaudio")
+
+
+if __name__ == "__main__":
+    verify_against_real_torchaudio()

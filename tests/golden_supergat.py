@@ -72,3 +72,44 @@ def fusion_gcn_forward(x, edge_index, p1, p2, heads):
     h = supergat_mx_forward(x, edge_index, **p1, heads=heads, concat=True)
     h = torch.nn.functional.gelu(h)
     return supergat_mx_forward(h, edge_index, **p2, heads=1, concat=False)
+
+
+def verify_against_real_pyg(trials=50, seed=0):
+    """Regeneration / upgrade path (docs/MIGRATION.md "First network
+    access"): with torch_geometric installed, compare this transcription
+    against the REAL `SuperGATConv` forward over random graphs. Run:
+
+        pip install torch_geometric
+        python -m tests.golden_supergat
+
+    Any disagreement means the transcription (and therefore the dense
+    missm_tpu.ops.graph pin) misread PyG — fix here, then re-run
+    tests/test_supergat_golden.py."""
+    from torch_geometric.nn import SuperGATConv
+
+    torch.manual_seed(seed)
+    worst = 0.0
+    for trial in range(trials):
+        n = int(torch.randint(2, 6, ()))
+        c_in, c_out, heads = 8, 6, 2
+        conv = SuperGATConv(c_in, c_out, heads=heads, concat=True,
+                            attention_type="MX").eval()
+        pairs = [(a, b) for a in range(n) for b in range(n) if a != b]
+        keep = torch.rand(len(pairs)) < 0.6
+        ei = torch.tensor([p for p, k in zip(pairs, keep) if k],
+                          dtype=torch.long).t().reshape(2, -1)
+        x = torch.randn(n, c_in)
+        with torch.no_grad():
+            ref = conv(x, ei)
+            got = supergat_mx_forward(
+                x, ei, conv.lin.weight.t(), conv.att_l.squeeze(0),
+                conv.att_r.squeeze(0), conv.bias, heads=heads,
+                out_channels=c_out, concat=True)
+        worst = max(worst, float((ref - got).abs().max()))
+    print(f"max |Δ| vs real SuperGATConv over {trials} graphs: {worst:.2e}")
+    assert worst < 1e-5, "transcription disagrees with torch_geometric"
+    print("GOLDEN VERIFIED against real torch_geometric")
+
+
+if __name__ == "__main__":
+    verify_against_real_pyg()
