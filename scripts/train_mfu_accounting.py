@@ -1,0 +1,143 @@
+"""FLOP-accounted MFU for ALL FOUR bench metrics (VERDICT r3 task 1b).
+
+Counts EXECUTED matmul/attention FLOPs analytically from the model
+configs — including backward dx, the fused-kernel VJP's score recompute,
+remat replays, and the frozen-partition dead-coding (no dW for frozen
+weights; whole text tower backward dead-codes because nothing trainable
+is upstream of it) — then divides by bench.py step times against the
+measured 201.5 TFLOP/s sustained peak (scripts/matmul_peak_probe.py).
+
+Backward policy model (bench configs):
+  image b64 train (save_attn_mlp_qkv, LoRA on spatial attn):
+    dx through every block matmul (chain to deeper LoRA params),
+    attention-kernel VJP ~ score recompute + 5 dots (2.5x fwd kernel),
+    forward-kernel replay for the out-proj LoRA da/db input,
+    ln2/gelu replays are VPU elementwise (not MXU FLOPs; excluded from
+    MFU by construction — they show up as lost utilization, which is
+    the point of the metric).
+  train3 (video qkv-saves + audio kern-saves, LoRA on temporal):
+    same structure per tower; video tower spatial attn has NO LoRA but
+    dx still flows (temporal LoRA is interleaved); audio kern policy
+    saves the kernel output so no forward-kernel replay.
+
+Run: python scripts/train_mfu_accounting.py  (pure arithmetic, no TPU)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK = 201.5e12  # measured sustained bf16 (docs/PERF.md)
+
+# measured step times, round-4 session (bench.py + knockout probes)
+MEASURED = {
+    "eval_b64": dict(ms=67.16, B=64),     # 952.7 samples/s
+    "train_b64": dict(ms=242.5, B=64),    # 264.0 samples/s
+    "eval3_b16": dict(ms=212.6, B=16),    # 75.3 samples/s
+    "train3_b8": dict(ms=382.3, B=8),     # 20.9 samples/s
+}
+
+
+def tower_flops(N, D, L, FF, n_inst):
+    """Per-STEP forward matmul+attention FLOPs for one spatial stack."""
+    proj = 4 * 2 * N * D * D          # q,k,v,out
+    mlp = 2 * 2 * N * D * FF
+    attn = 2 * 2 * N * N * D          # scores + AV across all heads
+    return dict(matmul=n_inst * L * (proj + mlp),
+                attn=n_inst * L * attn)
+
+
+def temporal_flops(T, N, D, L, B, FF_t=None):
+    """Temporal attention per step: tokens regroup to [B*N, T, D]; packed
+    kernel runs 128-token sequences with 16x redundant masked scores."""
+    inst = B * N                       # T-token instances
+    proj = 4 * 2 * T * D * D
+    # packed block-diag kernel: scores cost pack*T x pack*T per packed
+    # group of pack=128//T instances -> per instance: 2*2*T*(128)*D
+    attn = 2 * 2 * T * 128 * D
+    out = dict(matmul=inst * L * proj, attn=inst * L * attn)
+    if FF_t:
+        out["matmul"] += inst * L * 2 * 2 * T * D * FF_t
+    return out
+
+
+def text_flops(B, N=77, D=768, L=12, FF=3072):
+    proj = 4 * 2 * N * D * D
+    mlp = 2 * 2 * N * D * FF
+    attn = 2 * 2 * N * N * D
+    return dict(matmul=B * L * (proj + mlp), attn=B * L * attn)
+
+
+def total(d):
+    return d["matmul"] + d["attn"]
+
+
+def scale(d, k):
+    return {a: v * k for a, v in d.items()}
+
+
+def add(*ds):
+    out = {"matmul": 0, "attn": 0}
+    for d in ds:
+        for k in out:
+            out[k] += d[k]
+    return out
+
+
+def report(tag, flops_step, B, ms):
+    eff = flops_step / (ms / 1e3)
+    print(f"{tag:12s}: {flops_step / B / 1e9:7.1f} GFLOP/sample  "
+          f"{eff / 1e12:6.1f} TFLOP/s effective  "
+          f"MFU {eff / PEAK * 100:5.1f}%  ({ms:.1f} ms/step, B={B})")
+
+
+def main():
+    # ---- image+text flagship (ViT-L/14 + CLIP text) ----
+    B = 64
+    img = tower_flops(N=257, D=1024, L=24, FF=4096, n_inst=B)
+    txt = text_flops(B)
+    fwd = add(img, txt)
+    report("eval b64", total(fwd), B, MEASURED["eval_b64"]["ms"])
+
+    # train: fwd + dx(image stack only — text bwd dead-codes: no
+    # trainable params upstream) + kernel VJP (2.5x fwd kernel) +
+    # forward-kernel replay (out-proj LoRA needs attn_kernel_out)
+    bwd = add(scale({"matmul": img["matmul"], "attn": 0}, 1.0),   # dx
+              {"matmul": 0, "attn": img["attn"] * 2.5},           # kern VJP
+              {"matmul": 0, "attn": img["attn"] * 1.0})           # replay
+    train = add(fwd, bwd)
+    report("train b64", total(train), B, MEASURED["train_b64"]["ms"])
+
+    # ---- eval3/train3: video(tube3d+temporal) + audio + text ----
+    B3e, B3t = 16, 8
+
+    def av_fwd(B):
+        vid = tower_flops(N=257, D=1024, L=24, FF=4096, n_inst=B * 8)
+        tmp = temporal_flops(T=8, N=257, D=1024, L=24, B=B)  # video: no tmlp
+        aud = tower_flops(N=593, D=1024, L=24, FF=4096, n_inst=B)
+        # audio temporal path: T=1 -> no temporal attention executed
+        txt = text_flops(B)
+        return vid, tmp, aud, txt
+
+    vid, tmp, aud, txt = av_fwd(B3e)
+    fwd3 = add(vid, tmp, aud, txt)
+    report("eval3 b16", total(fwd3), B3e, MEASURED["eval3_b16"]["ms"])
+
+    vid, tmp, aud, txt = av_fwd(B3t)
+    fwd3t = add(vid, tmp, aud, txt)
+    # video tower (save_attn_mlp_qkv): dx everywhere; spatial kernel VJP;
+    # spatial fwd-kernel replay NOT needed (no LoRA on spatial out-proj;
+    # dx via the bwd kernel) — but temporal attn (LoRA'd) replays via
+    # remat (tqkv not saved: ln+qkv+kernel replay) and runs its VJP.
+    vid_bwd = add({"matmul": vid["matmul"], "attn": vid["attn"] * 2.5},
+                  {"matmul": tmp["matmul"] * 2.0, "attn": tmp["attn"] * 4.5},
+                  # tqkv replay (1x matmul) + dx (1x) = 2x; kernel replay
+                  # (1x) + VJP (2.5x) + out-LoRA replay (1x) = 4.5x
+                  )
+    aud_bwd = {"matmul": aud["matmul"], "attn": aud["attn"] * 2.5}
+    train3 = add(fwd3t, vid_bwd, aud_bwd)
+    report("train3 b8", total(train3), B3t, MEASURED["train3_b8"]["ms"])
+
+
+if __name__ == "__main__":
+    main()
