@@ -62,6 +62,7 @@ def _distributed(v):
 
 _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
                    "save_attn_mlp_qkv", "save_attn_mlp_qkv_kern",
+                   "save_attn_mlp_qkv_sig", "save_attn_mlp_qkv_tkern",
                    "save_most")
 
 

@@ -424,11 +424,14 @@ def fused_attention_cls(q, k_cls, k_main, v_cls, v_main, num_heads: int,
 def _attn_bwd_kernel_packed_cls(q_ref, kc_ref, km_ref, vc_ref, vm_ref, g_ref,
                                 dq_ref, dkc_ref, dkm_ref, dvc_ref, dvm_ref,
                                 qs, ks, vs, gs, kcs, vcs, *, pairs: int,
-                                head_dim: int, scale: float):
+                                head_dim: int, scale: float,
+                                batch_block: int = 1):
     """Backward for the cls-split forward: same parity-masked head-pair
     packing as _attn_bwd_kernel_packed, with the CLS column's gradient
     terms computed as VPU reductions/broadcasts — all five MXU dots run
-    on the tile-exact 256-key main block."""
+    on the tile-exact 256-key main block. `batch_block` images per grid
+    step amortize grid/DMA overhead (the r3 forward retune's lever,
+    swept for the backward in round 4 — scripts/attn_sweep_probe.py)."""
     pw = 2 * head_dim
     n = qs.shape[1]
     nm = ks.shape[1]
@@ -438,73 +441,81 @@ def _attn_bwd_kernel_packed_cls(q_ref, kc_ref, km_ref, vc_ref, vm_ref, g_ref,
     dn_qk = (((2,), (2,)), ((0,), (0,)))   # contract lanes   -> [P, N, Nm]
     dn_av = (((2,), (1,)), ((0,), (0,)))   # contract k-index -> [P, N, pw]
     dn_t = (((1,), (1,)), ((0,), (0,)))    # contract q-index -> [P, Nm, pw]
-    for p in range(pairs):
-        sl = slice(p * pw, (p + 1) * pw)
-        qs[p] = q_ref[0, :, sl]
-        ks[p] = km_ref[0, :, sl]
-        vs[p] = vm_ref[0, :, sl]
-        gs[p] = g_ref[0, :, sl]
-        kcs[p] = kc_ref[0, :, sl]
-        vcs[p] = vc_ref[0, :, sl]
-    q_all, k_all, v_all, g_all = qs[...], ks[...], vs[...], gs[...]
-    kc_all, vc_all = kcs[...], vcs[...]
-    zero = jnp.zeros((), q_all.dtype)
-    dq = dkm = dvm = dkc = dvc = None
-    for mq, mm, mc in ((lo_q, lo_m, lo_c), (~lo_q, ~lo_m, ~lo_c)):
-        qm = jnp.where(mq, q_all, zero)
-        gm = jnp.where(mq, g_all, zero)
-        km = jnp.where(mm, k_all, zero)
-        kcm = jnp.where(mc, kc_all, zero).astype(jnp.float32)
-        vcm = jnp.where(mc, vc_all, zero).astype(jnp.float32)
-        s_m = jax.lax.dot_general(
-            qm, k_all, dn_qk, preferred_element_type=jnp.float32) * scale
-        s_c = jnp.sum(qm.astype(jnp.float32) * kc_all.astype(jnp.float32),
-                      axis=2, keepdims=True) * scale
-        mx = jnp.maximum(jnp.max(s_m, axis=2, keepdims=True), s_c)
-        e_m = jnp.exp(s_m - mx)
-        e_c = jnp.exp(s_c - mx)
-        den = jnp.sum(e_m, axis=2, keepdims=True) + e_c
-        p_m = e_m / den                                     # [P, N, Nm] f32
-        p_c = e_c / den                                     # [P, N, 1]  f32
-        pb = p_m.astype(q_all.dtype)
-        dvm_h = jax.lax.dot_general(pb, gm, dn_t,
-                                    preferred_element_type=jnp.float32)
-        # CLS-column gradients contract the 257-query axis: run them as
-        # [N,1]^T x [N,pw] MXU dots (sublane-axis VPU reductions of a
-        # broadcast [N, pw] f32 product measured ~30% slower end-to-end)
-        dvc_h = jax.lax.dot_general(p_c.astype(q_all.dtype), gm, dn_t,
-                                    preferred_element_type=jnp.float32)
-        dp_m = jax.lax.dot_general(gm, v_all, dn_qk,
-                                   preferred_element_type=jnp.float32)
-        dp_c = jnp.sum(gm.astype(jnp.float32) * vcm, axis=2, keepdims=True)
-        dsum = (jnp.sum(dp_m * p_m, axis=2, keepdims=True) + dp_c * p_c)
-        ds_m = (p_m * (dp_m - dsum)).astype(q_all.dtype)
-        ds_c = p_c * (dp_c - dsum)                          # [P, N, 1]  f32
-        dq_h = (jax.lax.dot_general(ds_m, km, dn_av,
-                                    preferred_element_type=jnp.float32)
-                + ds_c * kcm) * scale
-        dkm_h = jax.lax.dot_general(ds_m, qm, dn_t,
-                                    preferred_element_type=jnp.float32) * scale
-        dkc_h = jax.lax.dot_general(ds_c.astype(q_all.dtype), qm, dn_t,
-                                    preferred_element_type=jnp.float32) * scale
-        dq = dq_h if dq is None else dq + dq_h
-        dkm = dkm_h if dkm is None else dkm + dkm_h
-        dvm = dvm_h if dvm is None else dvm + dvm_h
-        dkc = dkc_h if dkc is None else dkc + dkc_h
-        dvc = dvc_h if dvc is None else dvc + dvc_h
-    for p in range(pairs):
-        sl = slice(p * pw, (p + 1) * pw)
-        dq_ref[0, :, sl] = dq[p].astype(dq_ref.dtype)
-        dkm_ref[0, :, sl] = dkm[p].astype(dkm_ref.dtype)
-        dvm_ref[0, :, sl] = dvm[p].astype(dvm_ref.dtype)
-        dkc_ref[0, :, sl] = dkc[p].astype(dkc_ref.dtype)
-        dvc_ref[0, :, sl] = dvc[p].astype(dvc_ref.dtype)
+    for b in range(batch_block):
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            qs[p] = q_ref[b, :, sl]
+            ks[p] = km_ref[b, :, sl]
+            vs[p] = vm_ref[b, :, sl]
+            gs[p] = g_ref[b, :, sl]
+            kcs[p] = kc_ref[b, :, sl]
+            vcs[p] = vc_ref[b, :, sl]
+        q_all, k_all, v_all, g_all = qs[...], ks[...], vs[...], gs[...]
+        kc_all, vc_all = kcs[...], vcs[...]
+        zero = jnp.zeros((), q_all.dtype)
+        dq = dkm = dvm = dkc = dvc = None
+        for mq, mm, mc in ((lo_q, lo_m, lo_c), (~lo_q, ~lo_m, ~lo_c)):
+            qm = jnp.where(mq, q_all, zero)
+            gm = jnp.where(mq, g_all, zero)
+            km = jnp.where(mm, k_all, zero)
+            kcm = jnp.where(mc, kc_all, zero).astype(jnp.float32)
+            vcm = jnp.where(mc, vc_all, zero).astype(jnp.float32)
+            s_m = jax.lax.dot_general(
+                qm, k_all, dn_qk, preferred_element_type=jnp.float32) * scale
+            s_c = jnp.sum(qm.astype(jnp.float32)
+                          * kc_all.astype(jnp.float32),
+                          axis=2, keepdims=True) * scale
+            mx = jnp.maximum(jnp.max(s_m, axis=2, keepdims=True), s_c)
+            e_m = jnp.exp(s_m - mx)
+            e_c = jnp.exp(s_c - mx)
+            den = jnp.sum(e_m, axis=2, keepdims=True) + e_c
+            p_m = e_m / den                                 # [P, N, Nm] f32
+            p_c = e_c / den                                 # [P, N, 1]  f32
+            pb = p_m.astype(q_all.dtype)
+            dvm_h = jax.lax.dot_general(pb, gm, dn_t,
+                                        preferred_element_type=jnp.float32)
+            # CLS-column gradients contract the 257-query axis: run them
+            # as [N,1]^T x [N,pw] MXU dots (sublane-axis VPU reductions
+            # of a broadcast [N, pw] f32 product measured ~30% slower)
+            dvc_h = jax.lax.dot_general(p_c.astype(q_all.dtype), gm, dn_t,
+                                        preferred_element_type=jnp.float32)
+            dp_m = jax.lax.dot_general(gm, v_all, dn_qk,
+                                       preferred_element_type=jnp.float32)
+            dp_c = jnp.sum(gm.astype(jnp.float32) * vcm, axis=2,
+                           keepdims=True)
+            dsum = (jnp.sum(dp_m * p_m, axis=2, keepdims=True)
+                    + dp_c * p_c)
+            ds_m = (p_m * (dp_m - dsum)).astype(q_all.dtype)
+            ds_c = p_c * (dp_c - dsum)                      # [P, N, 1]  f32
+            dq_h = (jax.lax.dot_general(ds_m, km, dn_av,
+                                        preferred_element_type=jnp.float32)
+                    + ds_c * kcm) * scale
+            dkm_h = jax.lax.dot_general(
+                ds_m, qm, dn_t, preferred_element_type=jnp.float32) * scale
+            dkc_h = jax.lax.dot_general(
+                ds_c.astype(q_all.dtype), qm, dn_t,
+                preferred_element_type=jnp.float32) * scale
+            dq = dq_h if dq is None else dq + dq_h
+            dkm = dkm_h if dkm is None else dkm + dkm_h
+            dvm = dvm_h if dvm is None else dvm + dvm_h
+            dkc = dkc_h if dkc is None else dkc + dkc_h
+            dvc = dvc_h if dvc is None else dvc + dvc_h
+        for p in range(pairs):
+            sl = slice(p * pw, (p + 1) * pw)
+            dq_ref[b, :, sl] = dq[p].astype(dq_ref.dtype)
+            dkm_ref[b, :, sl] = dkm[p].astype(dkm_ref.dtype)
+            dvm_ref[b, :, sl] = dvm[p].astype(dvm_ref.dtype)
+            dkc_ref[b, :, sl] = dkc[p].astype(dkc_ref.dtype)
+            dvc_ref[b, :, sl] = dvc[p].astype(dvc_ref.dtype)
 
 
 def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
                             num_heads: int, group: int | None = None,
+                            batch_block: int = 1,
                             interpret: bool = False):
     """(dq, dk_cls, dk_main, dv_cls, dv_main) for the cls-split forward."""
+    import math
+
     B, N, D = q.shape
     nm = k_main.shape[1]
     hd = D // num_heads
@@ -512,22 +523,24 @@ def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
                           cap=8, requested=group, even_only=True)
     if group is None:
         raise ValueError("no valid head group for cls-split backward")
+    bb = math.gcd(B, batch_block)
     kernel = functools.partial(_attn_bwd_kernel_packed_cls, pairs=group // 2,
-                               head_dim=hd, scale=hd ** -0.5)
+                               head_dim=hd, scale=hd ** -0.5,
+                               batch_block=bb)
     gw = group * hd
     pw = 2 * hd
-    spec_q = pl.BlockSpec((1, N, gw), lambda b, h: (b, 0, h),
+    spec_q = pl.BlockSpec((bb, N, gw), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
-    spec_m = pl.BlockSpec((1, nm, gw), lambda b, h: (b, 0, h),
+    spec_m = pl.BlockSpec((bb, nm, gw), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
-    spec_c = pl.BlockSpec((1, 1, gw), lambda b, h: (b, 0, h),
+    spec_c = pl.BlockSpec((bb, 1, gw), lambda b, h: (b, 0, h),
                           memory_space=pltpu.VMEM)
     sq = jax.ShapeDtypeStruct((B, N, D), q.dtype)
     sm = jax.ShapeDtypeStruct((B, nm, D), q.dtype)
     sc = jax.ShapeDtypeStruct((B, 1, D), q.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, num_heads // group),
+        grid=(B // bb, num_heads // group),
         in_specs=[spec_q, spec_c, spec_m, spec_c, spec_m, spec_q],
         out_specs=[spec_q, spec_c, spec_m, spec_c, spec_m],
         out_shape=[sq, sc, sm, sc, sm],

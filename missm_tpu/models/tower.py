@@ -296,6 +296,10 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
         hn = checkpoint_name(hn, "attn_out")
         h = res + hn
         res = h
+        # NOT fused into a Pallas LN->matmul prologue: measured exactly
+        # neutral at the stack level (scripts/ln_linear_probe.py, r4 —
+        # XLA:TPU already keeps this boundary fused); kernels/ln_linear.py
+        # holds the kernel + the receipt.
         hn = layer_norm(p["ln2"], h, eps)
         wide = checkpoint_name(linear(p["mlp"]["fc1"], hn), "mlp_wide")
         wide = checkpoint_name(act(wide), "mlp_wide_act")
@@ -325,9 +329,13 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
             # additionally keep the pre-out-projection attention kernel
             # output: with LoRA on the out projection its da/db consume
             # that value, which otherwise forces the backward to replay
-            # the forward attention kernel (spatial AND packed temporal).
+            # the forward attention kernel (spatial AND packed temporal —
+            # the temporal tag split out as 'tattn_kernel_out' in r4;
+            # both are saved here to preserve this policy's measured
+            # semantics).
             policy = checkpoint_policies.save_only_these_names(
-                "attn_out", "mlp_wide", "attn_kernel_out")
+                "attn_out", "mlp_wide", "attn_kernel_out",
+                "tattn_kernel_out")
         elif remat == "save_attn_mlp_qkv":
             # additionally keep the SPATIAL q/k/v projection outputs: the
             # attention-kernel VJP consumes them, so the backward skips
@@ -345,7 +353,27 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
             # feeds the out projection's LoRA da/db). +~0.8 GB over qkv at
             # 64 ViT-L instances; sized for the image b64 config.
             policy = checkpoint_policies.save_only_these_names(
-                "attn_out", "mlp_wide", "qkv", "attn_kernel_out")
+                "attn_out", "mlp_wide", "qkv", "attn_kernel_out",
+                "tattn_kernel_out")
+        elif remat == "save_attn_mlp_qkv_tkern":
+            # qkv + the TEMPORAL attention kernel output only: the video
+            # tower's LoRA'd temporal out projection needs that value in
+            # the backward (otherwise the packed temporal kernel replays
+            # per layer); the spatial kernel outputs stay unsaved — at 64
+            # video instances saving them measured as a regression
+            # (save_attn_mlp_qkv_kern row, docs/PERF.md). ~33 MB/layer at
+            # train3 B=8.
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "qkv", "tattn_kernel_out")
+        elif remat == "save_attn_mlp_qkv_sig":
+            # qkv AND the MLP activation's sigmoid: quick_gelu's
+            # derivative needs sigmoid(1.702*wide) — with only mlp_wide
+            # saved the backward recomputes that transcendental over
+            # [inst, N, FF] per layer; saving the named sigmoid
+            # (ops.basic.quick_gelu's 'act_sig') trades ~134 MB/layer of
+            # bf16 for the VPU recompute.
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "qkv", "act_sig")
         elif remat == "save_most":
             policy = checkpoint_policies.save_anything_except_these_names(
                 "mlp_wide", "mlp_wide_act")

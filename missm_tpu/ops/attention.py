@@ -42,7 +42,8 @@ def _tqkv(t):
 def multi_head_attention(params, x, *, num_heads: int, bias=None,
                          causal: bool = False, key_bias=None,
                          lora_scaling: float | None = None,
-                         qkv_tag: str = "qkv"):
+                         qkv_tag: str = "qkv",
+                         kern_tag: str = "attn_kernel_out"):
     """Self-attention over x: [B, N, D] -> [B, N, D].
 
     bias: optional additive attention bias broadcastable to [B, H, N, N].
@@ -126,9 +127,10 @@ def multi_head_attention(params, x, *, num_heads: int, bias=None,
     # Named so the `save_attn_mlp_kern` remat policy can keep it: when the
     # out projection carries LoRA, its da/db need this value as input — the
     # only backward consumer that otherwise forces a replay of the forward
-    # attention kernel during rematerialized backprop.
+    # attention kernel during rematerialized backprop. (kern_tag is
+    # 'tattn_kernel_out' on the temporal fallback path.)
     from jax.ad_checkpoint import checkpoint_name
-    out = checkpoint_name(out, "attn_kernel_out")
+    out = checkpoint_name(out, kern_tag)
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 
@@ -151,7 +153,8 @@ def short_attention(params, x, *, num_heads: int,
         # save_attn_mlp_qkv — the doubled footprint the split prevents
         return multi_head_attention(params, x, num_heads=num_heads,
                                     lora_scaling=lora_scaling,
-                                    qkv_tag="tqkv")
+                                    qkv_tag="tqkv",
+                                    kern_tag="tattn_kernel_out")
 
     # Tagged 'tqkv', NOT 'qkv': the save_attn_mlp_qkv remat policy saves
     # spatial/sequence qkv only. Saving the temporal qkv too doubles the
@@ -179,8 +182,13 @@ def short_attention(params, x, *, num_heads: int,
         # tiny T-token instances.
         tail = _einsum_reference(q[full:], k[full:], v[full:], num_heads)
         out = jnp.concatenate([out, tail], axis=0)
+    # 'tattn_kernel_out', distinct from the spatial 'attn_kernel_out':
+    # the video tower's LoRA sits on the TEMPORAL out projection, whose
+    # da/db need this value — save_attn_mlp_qkv_tkern keeps it (skipping
+    # the temporal-kernel replay) without also saving the spatial kernel
+    # outputs, which measured as a regression at video instance counts
     from jax.ad_checkpoint import checkpoint_name
-    out = checkpoint_name(out, "attn_kernel_out")
+    out = checkpoint_name(out, "tattn_kernel_out")
     return linear(params["out"], out, lora_scaling=lora_scaling)
 
 

@@ -13,8 +13,15 @@ import jax.numpy as jnp
 
 
 def quick_gelu(x):
-    """CLIP's activation: x * sigmoid(1.702 x) (HF 'quick_gelu')."""
-    return x * jax.nn.sigmoid(1.702 * x)
+    """CLIP's activation: x * sigmoid(1.702 x) (HF 'quick_gelu').
+
+    The sigmoid is checkpoint-named 'act_sig': the derivative needs it
+    again in the backward, and the 'save_attn_mlp_qkv_sig' remat policy
+    can keep it instead of recomputing the transcendental (a no-op tag
+    outside jax.checkpoint)."""
+    from jax.ad_checkpoint import checkpoint_name
+    s = checkpoint_name(jax.nn.sigmoid(1.702 * x), "act_sig")
+    return x * s
 
 
 _ACTS = {

@@ -77,40 +77,44 @@ def main():
             print(f"fwd group={g:2d} bb={bb:2d}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
 
-    # backward kernel: group sweep (grid is (B, H/group), bb fixed at 1)
+    # backward kernel: (group, batch_block) sweep — bb was fixed at 1
+    # until round 4 (the fwd retune's amortization lever, now plumbed
+    # through fused_attention_cls_bwd)
     dg = jnp.asarray(rng.standard_normal((B, N, D)) * 0.02, jnp.bfloat16)
 
-    def time_bwd(group, rounds=3):
-        def body(i, dgc):
-            out = dgc
-            for _ in range(LAYERS):
-                grads = fused_attention_cls_bwd(q, kc, km, vc, vm, out, H,
-                                                group=group)
-                out = grads[0]  # chain through dq
-            return out
-
+    def time_bwd(group, bb, rounds=3):
         @jax.jit
-        def run(dgc):
+        def run(q, kc, km, vc, vm, dgc):
+            def body(i, out):
+                for _ in range(LAYERS):
+                    grads = fused_attention_cls_bwd(
+                        q, kc, km, vc, vm, out, H, group=group,
+                        batch_block=bb)
+                    out = grads[0]  # chain through dq
+                return out
             return jax.lax.fori_loop(0, ITERS, body, dgc)
 
-        out = run(dg)
+        out = run(q, kc, km, vc, vm, dg)
         float(jnp.asarray(out, jnp.float32).ravel()[0])
         best = float("inf")
         for _ in range(rounds):
             t0 = time.perf_counter()
-            out = run(dg)
+            out = run(q, kc, km, vc, vm, dg)
             float(jnp.asarray(out, jnp.float32).ravel()[0])
             best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
         return best
 
-    for g_ in (8, 4, 2):
+    import itertools
+    bwd_cfgs = [(g_, bb_) for g_, bb_ in itertools.product(
+        (8, 4, 2), (1, 2, 4, 8, 16))]
+    for g_, bb_ in bwd_cfgs:
         try:
-            ms = time_bwd(g_)
-            print(f"bwd group={g_:2d}:       {ms:7.2f} ms / {LAYERS} "
+            ms = time_bwd(g_, bb_)
+            print(f"bwd group={g_:2d} bb={bb_:2d}: {ms:7.2f} ms / {LAYERS} "
                   f"layers ({ms / LAYERS * 1000:6.1f} us/layer)", flush=True)
         except Exception as e:
-            print(f"bwd group={g_:2d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:120]}", flush=True)
+            print(f"bwd group={g_:2d} bb={bb_:2d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

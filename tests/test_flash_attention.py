@@ -102,15 +102,20 @@ def test_cls_split_kernel_matches_reference(rng, n, heads):
                                rtol=1e-4)
 
 
-@pytest.mark.parametrize("n,heads,group", [(129, 2, 2), (257, 4, 4),
-                                           (257, 16, 8)])
-def test_cls_split_bwd_matches_einsum_grads(rng, n, heads, group):
+@pytest.mark.parametrize("n,heads,group,bb", [(129, 2, 2, 1),
+                                              (257, 4, 4, 1),
+                                              (257, 16, 8, 1),
+                                              (257, 4, 4, 2),
+                                              (257, 16, 8, 4)])
+def test_cls_split_bwd_matches_einsum_grads(rng, n, heads, group, bb):
     """CLS-split backward == autodiff of the einsum formulation, with the
-    gradients re-split into (dq, dk_cls, dk_main, dv_cls, dv_main)."""
+    gradients re-split into (dq, dk_cls, dk_main, dv_cls, dv_main);
+    batch_block > 1 (round-4 grid lever) must not change the math."""
+    B = max(2, bb)
     D = heads * 64
-    q = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((2, n, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, n, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, n, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, n, D)).astype(np.float32))
 
     def loss_ref(q, k, v):
         return jnp.sum(_einsum_reference(q, k, v, heads) ** 2)
@@ -119,7 +124,7 @@ def test_cls_split_bwd_matches_einsum_grads(rng, n, heads, group):
     g = 2.0 * _einsum_reference(q, k, v, heads)
     dq, dkc, dkm, dvc, dvm = fused_attention_cls_bwd(
         q, k[:, :1], k[:, 1:], v[:, :1], v[:, 1:], g, heads, group=group,
-        interpret=True)
+        batch_block=bb, interpret=True)
     for a, b in [(dq, ref_dq), (dkc, ref_dk[:, :1]), (dkm, ref_dk[:, 1:]),
                  (dvc, ref_dv[:, :1]), (dvm, ref_dv[:, 1:])]:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
