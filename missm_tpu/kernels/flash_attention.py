@@ -759,8 +759,13 @@ def fused_attention_bwd(q, k, v, g, num_heads: int, block_diag: int = 0,
     seven I/O blocks must fit."""
     B, N, D = q.shape
     hd = D // num_heads
+    # cap 8 at large N (two f32 [G,N,N] live values reward it); the
+    # block-diag (packed temporal) shape's small score matrices amortize
+    # wider — swept r4: group 16 24.35 ms vs 8 27.67 at N=128 bd=8
+    # (scripts/attn_sweep_probe2.py 'bwd')
+    cap = 16 if block_diag else 8
     group = _select_group(num_heads, hd, N, budget=_bwd_budget(hd, N),
-                          cap=8, requested=group, fallback_min=True)
+                          cap=cap, requested=group, fallback_min=True)
 
     if packed is None:
         packed = (2 * hd) % 128 == 0 and hd % 128 != 0 and group % 2 == 0
