@@ -40,7 +40,15 @@ def _distributed(v):
     (the torchrun-habit failure mode)."""
     s = str(v).strip()
     if "," not in s and ":" not in s:
-        return _bool(s)
+        # only explicit bool words take the quiet path — '10.0.0.1' (a
+        # forgotten :port,N,i) or 'ture' must NOT coerce to False and
+        # silently run single-host
+        low = s.lower()
+        if low in ("1", "true", "yes", "0", "false", "no", ""):
+            return low in ("1", "true", "yes")
+        raise argparse.ArgumentTypeError(
+            f"--distributed {v!r}: expected true/false or "
+            f"'coordinator_ip:port,num_processes,process_id'")
     parts = s.split(",")
     if len(parts) != 3 or ":" not in parts[0]:
         raise argparse.ArgumentTypeError(

@@ -524,6 +524,12 @@ def fused_attention_cls_bwd(q, k_cls, k_main, v_cls, v_main, g,
     if group is None:
         raise ValueError("no valid head group for cls-split backward")
     bb = math.gcd(B, batch_block)
+    # eleven I/O blocks scale with bb next to the two f32 score buffers;
+    # shrink bb against a ~6 MB I/O budget (mirrors the forward's
+    # auto-shrink) instead of letting Mosaic fail the compile
+    io_bytes = 11 * N * group * hd * q.dtype.itemsize
+    while bb > 1 and bb * io_bytes > 6 * 1024 * 1024:
+        bb //= 2
     kernel = functools.partial(_attn_bwd_kernel_packed_cls, pairs=group // 2,
                                head_dim=hd, scale=hd ** -0.5,
                                batch_block=bb)

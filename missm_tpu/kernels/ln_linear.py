@@ -38,6 +38,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Trace-time switch for the ln2->fc1 fusion in models.tower._block_forward.
+# OFF by default per the measured-neutral receipt (scripts/
+# ln_linear_probe.py: 67.76 vs 67.74 ms/stack — XLA already fuses the
+# boundary); the probe flips it per arm so the receipt stays
+# reproducible against the production block.
+FUSE_LN2_FC1 = False
+
 
 def _ln_linear_kernel(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps: float,
                       has_bias: bool, wb_ref=None):
@@ -66,10 +73,9 @@ def _ln_linear_fwd_pallas(x, gamma, beta, w, wb, *, eps: float,
     while F % bf:
         bf //= 2
     has_bias = wb is not None
-    kernel = functools.partial(_ln_linear_kernel, eps=eps,
-                               has_bias=has_bias)
-    if has_bias:
-        kernel = functools.partial(_ln_linear_kernel_b, eps=eps)
+    kernel = (functools.partial(_ln_linear_kernel_b, eps=eps) if has_bias
+              else functools.partial(_ln_linear_kernel, eps=eps,
+                                     has_bias=False))
     in_specs = [
         pl.BlockSpec((bm, D), lambda m, f: (m, 0),
                      memory_space=pltpu.VMEM),

@@ -296,15 +296,23 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
         hn = checkpoint_name(hn, "attn_out")
         h = res + hn
         res = h
-        # NOT fused into a Pallas LN->matmul prologue: measured exactly
-        # neutral at the stack level (scripts/ln_linear_probe.py, r4 —
-        # XLA:TPU already keeps this boundary fused); kernels/ln_linear.py
-        # holds the kernel + the receipt.
-        hn = layer_norm(p["ln2"], h, eps)
-        wide = checkpoint_name(linear(p["mlp"]["fc1"], hn), "mlp_wide")
+        # ln2->fc1 is NOT fused by default: measured exactly neutral at
+        # the stack level (scripts/ln_linear_probe.py, r4 — XLA:TPU
+        # already keeps this boundary fused). kernels/ln_linear.py holds
+        # the kernel; the FUSE_LN2_FC1 trace-time switch keeps the
+        # receipt reproducible.
+        from ..kernels import ln_linear as _lnl
+        if _lnl.FUSE_LN2_FC1 and _lnl.ln_linear_available(
+                h, p["mlp"]["fc1"]):
+            wide = checkpoint_name(
+                _lnl.ln_linear(h, p["ln2"], p["mlp"]["fc1"], eps=eps),
+                "mlp_wide")
+        else:
+            hn = layer_norm(p["ln2"], h, eps)
+            wide = checkpoint_name(linear(p["mlp"]["fc1"], hn),
+                                   "mlp_wide")
         wide = checkpoint_name(act(wide), "mlp_wide_act")
-        hn = linear(p["mlp"]["fc2"], wide)
-        h = res + hn
+        h = res + linear(p["mlp"]["fc2"], wide)
         return h
 
     if remat:

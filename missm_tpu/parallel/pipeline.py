@@ -300,13 +300,18 @@ def _pipeline_1f1b(pipe: PipeConfig, blocks, x, extras, *, block_fn):
                       for e in ex_mb))
         (_, db, dx_buf, dex_bufs), _ = jax.lax.scan(
             tick, init, jnp.arange(M + S - 1))
-        # dx is real only on stage 0; per-extra cotangents sum over every
-        # stage (the extras feed all layers)
+        # dx is real only on stage 0 (one value + zeros -> _psum_pipe's
+        # premise holds); per-extra cotangents are a GENUINE S-term sum
+        # (the extras feed every stage's layers), so accumulate in f32
+        # unconditionally — matching the gpipe path's _enter_pipe_bwd
+        # precision, not just XLA:CPU's crash workaround
         dx = _psum_pipe(jnp.where(r == 0, dx_buf[:M],
                                   jnp.zeros_like(dx_buf[:M])))
         dx = dx.reshape((dx.shape[0] * dx.shape[1],) + dx.shape[2:])
         dex = tuple(
-            _psum_pipe(a[:M]).reshape((M * a.shape[1],) + a.shape[2:])
+            jax.lax.psum(a[:M].astype(jnp.float32), PIPE_AXIS)
+            .astype(a.dtype)
+            .reshape((M * a.shape[1],) + a.shape[2:])
             for a in dex_bufs)
         return (db, dx) + dex
 

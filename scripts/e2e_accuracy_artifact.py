@@ -28,7 +28,7 @@ def main():
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {path}")
     print(f"epochs run: {len(history)}; "
-          f"final val_acc: {history[-1].get('val_acc')}")
+          f"final val_accuracy: {history[-1].get('val_accuracy')}")
 
 
 if __name__ == "__main__":

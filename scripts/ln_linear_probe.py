@@ -78,15 +78,18 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, ITERS, it, x)
                        .astype(jnp.float32))
 
-    orig = lnmod.ln_linear_available
     results = {}
-    for arm in ("unfused", "fused"):
-        lnmod.ln_linear_available = (orig if arm == "fused"
-                                     else (lambda *a: False))
-        results[f"{arm}_fwd"] = timed(f"{arm} fwd", fwd_loop, blocks, x0)
-        results[f"{arm}_fwdbwd"] = timed(f"{arm} fwd+bwd", bwd_loop,
-                                         blocks, x0)
-    lnmod.ln_linear_available = orig
+    try:
+        for arm in ("unfused", "fused"):
+            # the trace-time production switch (models.tower reads it on
+            # every trace), so both arms run the REAL block path
+            lnmod.FUSE_LN2_FC1 = arm == "fused"
+            results[f"{arm}_fwd"] = timed(f"{arm} fwd", fwd_loop, blocks,
+                                          x0)
+            results[f"{arm}_fwdbwd"] = timed(f"{arm} fwd+bwd", bwd_loop,
+                                             blocks, x0)
+    finally:
+        lnmod.FUSE_LN2_FC1 = False
     for k in ("fwd", "fwdbwd"):
         d = (results[f"unfused_{k}"] - results[f"fused_{k}"]) * 1e3
         print(f"{k}: fused saves {d:+.2f} ms/stack")

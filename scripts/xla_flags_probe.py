@@ -7,12 +7,11 @@ flags control. This sweeps a small set of known levers, each in a CHILD
 process (XLA_FLAGS are read at backend init), timing the b64 train step
 with bench.py's methodology via scripts/train_remat_ab.py.
 
-Flags tried (all public XLA):
-  baseline                      (no extra flags)
-  scoped-vmem=65536             raise per-fusion scratch VMEM budget
-  scoped-vmem=98304
-  latency-hiding-scheduler      enable the LHS scheduler
-  aggressive-fusion             --xla_tpu_enable_aggressive_loop_fusion
+Flags tried (the VARIANTS dict below is the source of truth):
+  baseline                 (no extra flags)
+  scoped_vmem_64m/96m      --xla_tpu_scoped_vmem_limit_kib=65536/98304
+  latency_hiding           --xla_latency_hiding_scheduler_rerun=2
+  license_to_fuse          --xla_tpu_licm_size_inflation_ratio=2.0
 
 Run: python scripts/xla_flags_probe.py  (takes ~10 min of compiles)
 """

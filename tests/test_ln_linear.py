@@ -100,3 +100,26 @@ def test_availability_gate(tensors):
     assert not ln_linear_available(x, lin)
     lora = dict(lin, lora_a=jnp.zeros((D, 2)), lora_b=jnp.zeros((2, F)))
     assert not ln_linear_available(x, lora)
+
+
+def test_fuse_switch_defaults_off_and_is_cpu_safe():
+    """The production trace-time switch is OFF (the measured-neutral
+    receipt); flipping it on a CPU backend must still take the unfused
+    path (availability gate) — the probe's A/B depends on this wiring."""
+    from missm_tpu.core.config import tiny_tower
+    from missm_tpu.kernels import ln_linear as lnmod
+    from missm_tpu.models.tower import init_vision_params, vision_features
+
+    assert lnmod.FUSE_LN2_FC1 is False
+    cfg = tiny_tower("image").vision
+    params = init_vision_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    ref = vision_features(params, cfg, px)
+    try:
+        lnmod.FUSE_LN2_FC1 = True
+        out = vision_features(params, cfg, px)
+    finally:
+        lnmod.FUSE_LN2_FC1 = False
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=0, rtol=0)

@@ -31,9 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(REPO, "__graft_entry__.py")
 K = int(os.environ.get("INTERLOCK_RUNS", "4"))
 
-# the known rendezvous-deadlock signatures (CHECK-abort text plus the
-# "participants waiting" breadcrumbs libtpu prints on the way down)
-DEADLOCK_MARKERS = ("rendezvous", "Rendezvous", "participants")
+# the known rendezvous-deadlock signature. Deliberately narrow: a
+# marker like "participants" appears in unrelated collective error
+# texts and would silently classify NEW failure modes as the known
+# deadlock — the third-outcome detection this test exists for
+DEADLOCK_MARKERS = ("rendezvous", "Rendezvous")
 
 
 def _run_pipe_layout_child(timeout=900):
