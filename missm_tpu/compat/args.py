@@ -71,7 +71,7 @@ def _distributed(v):
 _REMAT_POLICIES = ("save_attn", "save_attn_mlp", "save_attn_mlp_kern",
                    "save_attn_mlp_qkv", "save_attn_mlp_qkv_kern",
                    "save_attn_mlp_qkv_sig", "save_attn_mlp_qkv_tkern",
-                   "save_most")
+                   "save_attn_mlp_tqkv", "save_most")
 
 
 def _remat_value(val):

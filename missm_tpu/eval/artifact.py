@@ -51,6 +51,7 @@ def _manifest_inputs(tree):
 
 def export_artifact(params, cfg: ModelConfig, example_data: Mapping,
                     out_dir: str, *, platforms: Optional[Sequence[str]] = None,
+                    mesh=None,
                     extra_manifest: Optional[Mapping] = None) -> str:
     """Serialize the inference function for `params`/`cfg` to `out_dir`.
 
@@ -59,8 +60,15 @@ def export_artifact(params, cfg: ModelConfig, example_data: Mapping,
     platforms: lowering platforms (default: the current backend). Note the
     fused Pallas kernels only lower on TPU — cross-platform artifacts
     ('tpu','cpu') require shapes that take the XLA fallback paths.
+    mesh: optional jax.sharding.Mesh — exports a MULTI-CHIP serving
+    program: inputs/outputs sharded P('data') on the batch dim, params
+    embedded replicated, GSPMD partitioning baked into the StableHLO.
+    The loader must run it under a mesh of the same device count
+    (load_artifact rebuilds one from the manifest); the batch dim must
+    divide the data axis.
     """
     from jax import export as jax_export
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch = len(next(iter(
         v["input_ids"] if isinstance(v, Mapping) else v
@@ -78,8 +86,23 @@ def export_artifact(params, cfg: ModelConfig, example_data: Mapping,
 
     data_spec = _spec_tree(example_data)
     mi_spec = jax.ShapeDtypeStruct((batch,), np.int32)
+    jit_kw = {}
+    if mesh is not None:
+        if batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by the mesh's data axis "
+                f"{mesh.shape['data']} — the exported program shards the "
+                f"batch dim")
+        data_sh = NamedSharding(mesh, P("data"))
+        data_spec = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                           sharding=data_sh), data_spec)
+        mi_spec = jax.ShapeDtypeStruct((batch,), np.int32,
+                                       sharding=data_sh)
+        jit_kw["out_shardings"] = data_sh
     kw = {"platforms": list(platforms)} if platforms else {}
-    exported = jax_export.export(jax.jit(fn), **kw)(data_spec, mi_spec)
+    exported = jax_export.export(jax.jit(fn, **jit_kw), **kw)(
+        data_spec, mi_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     blob = exported.serialize()
@@ -98,6 +121,9 @@ def export_artifact(params, cfg: ModelConfig, example_data: Mapping,
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
         "artifact_bytes": len(blob),
+        "num_devices": exported.nr_devices,
+        "data_axis": (int(mesh.shape["data"]) if mesh is not None
+                      else 1),
     }
     if extra_manifest:
         manifest.update(dict(extra_manifest))
@@ -108,12 +134,36 @@ def export_artifact(params, cfg: ModelConfig, example_data: Mapping,
 
 class ServingArtifact:
     """A loaded artifact: `.predict_arrays` pads partial batches to the
-    compiled batch size and slices results back, like `Predictor`."""
+    compiled batch size and slices results back, like `Predictor`.
+
+    Multi-chip artifacts (manifest num_devices > 1) are executed under a
+    (data,) mesh rebuilt from the manifest: inputs are device_put with
+    the batch dim sharded P('data') — the same layout the program was
+    exported with."""
 
     def __init__(self, exported, manifest: Mapping):
         self._exported = exported
         self.manifest = dict(manifest)
         self.batch_size = int(manifest["batch_size"])
+        self.num_devices = int(manifest.get("num_devices", 1))
+        self._mesh = None
+        if self.num_devices > 1:
+            from jax.sharding import Mesh
+            devices = jax.devices()
+            if len(devices) < self.num_devices:
+                raise ValueError(
+                    f"artifact was exported for {self.num_devices} "
+                    f"devices; only {len(devices)} available")
+            self._mesh = Mesh(
+                np.asarray(devices[: self.num_devices]), ("data",))
+
+    def _put(self, tree):
+        if self._mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self._mesh, P("data"))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), sh), tree)
 
     def predict_arrays(self, data: Mapping, missing_index=None):
         from .sweep import _pad_batch
@@ -134,7 +184,8 @@ class ServingArtifact:
         else:
             missing_index = _pad_batch(
                 np.asarray(missing_index, np.int32), target)
-        out = self._exported.call(data, jnp.asarray(missing_index))
+        out = self._exported.call(self._put(data),
+                                  self._put(jnp.asarray(missing_index)))
         return (np.asarray(out["preds"])[:n], np.asarray(out["probs"])[:n])
 
 

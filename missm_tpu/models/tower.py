@@ -363,6 +363,14 @@ def _block_forward(p, x, *, num_heads, act, eps, bias=None, causal=False,
             policy = checkpoint_policies.save_only_these_names(
                 "attn_out", "mlp_wide", "qkv", "attn_kernel_out",
                 "tattn_kernel_out")
+        elif remat == "save_attn_mlp_tqkv":
+            # the TEMPORAL qkv instead of the spatial one (same footprint
+            # at video shapes — B*N*T == B*T*N tokens): the temporal
+            # replay carries the [B,T,N,D]<->[B,N,T,D] relayout pair on
+            # top of its matmuls, so saving it may buy more than saving
+            # the spatial qkv does. Round-4 A/B: see docs/PERF.md.
+            policy = checkpoint_policies.save_only_these_names(
+                "attn_out", "mlp_wide", "tqkv")
         elif remat == "save_attn_mlp_qkv_tkern":
             # qkv + the TEMPORAL attention kernel output only: the video
             # tower's LoRA'd temporal out projection needs that value in

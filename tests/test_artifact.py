@@ -102,3 +102,36 @@ def test_export_cli_then_predict_from_artifact(tmp_path, monkeypatch):
     assert len(a) == len(b) == 10
     assert (a["pred"] == b["pred"]).all()
     np.testing.assert_allclose(a["confidence"], b["confidence"], atol=1e-5)
+
+
+def test_multichip_artifact_matches_single_device(tmp_path):
+    """mesh= exports a GSPMD-sharded serving program (batch P('data')):
+    the manifest records the device count, the loader rebuilds the mesh
+    and shards inputs, and predictions match the single-device artifact
+    bitwise."""
+    from missm_tpu.core.mesh import make_mesh
+
+    cfg, params = _setup()
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    export_artifact(params, cfg, _batch(8), single)
+    mesh = make_mesh(n_data=8, n_model=1)
+    export_artifact(params, cfg, _batch(8), multi, mesh=mesh)
+
+    manifest = json.load(open(os.path.join(multi, "manifest.json")))
+    assert manifest["num_devices"] == 8
+    assert manifest["data_axis"] == 8
+
+    art_s = load_artifact(single)
+    art_m = load_artifact(multi)
+    data = _batch(8, rng_seed=2)
+    missing = np.array([0, 1, 4, 0, 1, 4, 0, 0], np.int32)
+    p_s, pr_s = art_s.predict_arrays(data, missing)
+    p_m, pr_m = art_m.predict_arrays(data, missing)
+    np.testing.assert_array_equal(p_s, p_m)
+    np.testing.assert_allclose(pr_s, pr_m, atol=1e-6, rtol=1e-6)
+
+    # an indivisible batch dim fails loudly at export
+    with pytest.raises(ValueError, match="not divisible"):
+        export_artifact(params, cfg, _batch(6), str(tmp_path / "bad"),
+                        mesh=mesh)

@@ -402,6 +402,34 @@ def test_per_modality_remat_matches_uniform():
     np.testing.assert_allclose(w_u, w_s, atol=1e-6, rtol=1e-5)
 
 
+def test_all_remat_policies_same_math():
+    """Every named remat policy (including the round-4 additions —
+    save_attn_mlp_qkv_sig / _tkern / save_attn_mlp_tqkv) is a recompute
+    schedule only: one train step under each must produce the same loss
+    and updated params as full remat."""
+    import dataclasses
+
+    from missm_tpu.compat.args import _REMAT_POLICIES
+
+    data, labels, missing = tiny_batch()
+    ref = None
+    for remat in (True,) + _REMAT_POLICIES:
+        cfg = dataclasses.replace(tiny_model_cfg("sum"), remat=remat)
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        state, tx = init_train_state(params, cfg)
+        step = make_train_step(cfg, tx)
+        state, m = step(state, data, labels, missing, 1e-2,
+                        jax.random.PRNGKey(0))
+        got = (float(m["loss"]),
+               np.asarray(state.params["fusion"]["proj"]["image"]["w"]))
+        if ref is None:
+            ref = got
+        else:
+            assert got[0] == pytest.approx(ref[0], rel=1e-6), remat
+            np.testing.assert_allclose(got[1], ref[1], atol=1e-6,
+                                       rtol=1e-5, err_msg=str(remat))
+
+
 def test_grad_accum_matches_manual_microbatching():
     """accum_steps=2 must equal manually averaging the two half-batch
     gradients (same per-microbatch rng split) and applying one Adam
