@@ -118,15 +118,29 @@ def bench_eval(jnp, jax, iters=20, B=64):
     return B * iters / dt
 
 
-def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv",
-                frozen_bf16=False):
-    """save_attn_mlp_qkv additionally keeps the q/k/v projection outputs
-    (+2.4 GB at b64, fits): the backward skips the ln1+qkv replay —
-    254.8 -> 259.0 samples/s/chip vs save_attn_mlp (min-of-3, same
-    session; scripts/train_remat_ab.py). The same policy OOMs for the
-    train3 video tower (which also carries temporal-attention saves).
-    frozen_bf16 measured neutral here (b64 fits with f32 masters and the
-    policy is not memory-bound) — kept a knob for A/B probes only."""
+def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv_kern",
+                frozen_bf16=False, accum_steps=4):
+    """Bench config (round 4): save_attn_mlp_qkv_kern remat + 4x16
+    in-jit gradient accumulation.
+
+    accum_steps=4 (scripts/bwd_chunk_probe.py): the composed fwd+bwd
+    stack schedules best at 16-32 instances/microbatch (us/inst
+    2875/2855/2955/3235/3408 at 16/32/64/96/128) — the backward analog
+    of the forward's 64-instance chunking optimum. In-jit microbatched
+    accumulation at 4x16 runs the SAME b64 batch + one Adam update
+    (math pinned by test_grad_accum_matches_manual_microbatching) at
+    272.9-273.0 vs 263.9 samples/s flat (+3.4%, min-of-3 each, same
+    session; accum=2 neutral 262.9, accum=8 worse 251.3).
+
+    The remat policy FLIPS with the schedule: at flat b64,
+    save_attn_mlp_qkv_kern (also keep the attention-kernel outputs so
+    the backward never replays the forward kernel) lost 1.2% to
+    save_attn_mlp_qkv — the 64-instance saved [inst,H,N,hd] outputs
+    cost more backward HBM reads than the ~VMEM-resident recompute they
+    avoid. At 4x16 the saved set is 4x smaller and the sign flips:
+    qkv_kern 279.3 vs qkv 273.2 (+2.2%, same session;
+    scripts/train_remat_ab.py). frozen_bf16 stays neutral (279.7) and
+    off; save_attn_mlp_qkv_sig stays refuted (255.7 at accum=4)."""
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
@@ -143,7 +157,7 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv",
         from missm_tpu.train.trainability import cast_frozen_params
         params = cast_frozen_params(params, cfg)
     state, tx = init_train_state(params, cfg)
-    step = make_train_step(cfg, tx)
+    step = make_train_step(cfg, tx, accum_steps=accum_steps)
 
     rng = np.random.default_rng(0)
     data = {

@@ -35,6 +35,28 @@ CONFIGS = [
                                                remat=QKV_VIDEO)),
     ("B=8 accum=1 video=qkv audio=plain", dict(B=8, accum_steps=1,
                                                remat=QKV_VIDEO_PLAIN_AUDIO)),
+    # round-4 follow-up to the image-train result (bwd_chunk_probe: the
+    # composed BACKWARD schedules best at 16-32 instances; b64 accum=4
+    # measures +3.4%). Bench-config remat + frozen_bf16 defaults.
+    ("B=8 accum=1 bench config (control)", dict(B=8, accum_steps=1)),
+    ("B=8 accum=2 bench config", dict(B=8, accum_steps=2)),
+    ("B=8 accum=4 bench config", dict(B=8, accum_steps=4)),
+    # the image-side policy FLIP (qkv_kern wins at 16-32-instance
+    # microbatches, loses at 64 — bwd_chunk/remat_ab) applied to the
+    # video tower: accum=2 halves its saves, so the kern variants that
+    # OOM'd or regressed flat may now fit AND win. Audio keeps kern
+    # (its 8->4-instance microbatches stay above the audio-kern
+    # crossover); frozen_bf16 stays on (bench default).
+    ("B=8 accum=2 video=qkv_kern", dict(
+        B=8, accum_steps=2,
+        remat=(("video", "save_attn_mlp_qkv_kern"),
+               ("audio", "save_attn_mlp_kern"),
+               ("language", "save_attn_mlp")))),
+    ("B=8 accum=4 video=qkv_kern", dict(
+        B=8, accum_steps=4,
+        remat=(("video", "save_attn_mlp_qkv_kern"),
+               ("audio", "save_attn_mlp_kern"),
+               ("language", "save_attn_mlp")))),
 ]
 
 

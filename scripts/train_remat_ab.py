@@ -27,6 +27,8 @@ def main():
         fb16 = bool(flag)
         # pol itself is validated inside _block_forward (unknown policy
         # strings raise instead of silently measuring full remat)
+        # inherits bench_train's accum_steps default (4 since round 4 —
+        # the r2/r3 tables in docs/PERF.md were measured flat, accum=1)
         r = bench.bench_train(jnp, jax, remat=pol, frozen_bf16=fb16)
         tag = f"remat={pol}" + (" +frozen_bf16" if fb16 else "")
         print(f"train b64 {tag}: {r:.1f} samples/s/chip", flush=True)
