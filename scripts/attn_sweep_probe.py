@@ -24,7 +24,11 @@ from missm_tpu.core.cache import enable_compilation_cache
 from missm_tpu.kernels.flash_attention import (fused_attention_cls,
                                                fused_attention_cls_bwd)
 
-B, N, H, HD = 64, 257, 16, 64
+# MISSM_SWEEP_B overrides the batch: the round-4 bench train config runs
+# 16-instance microbatches (4x16 accum), a shape the original B=64 sweep
+# never covered.
+B = int(os.environ.get("MISSM_SWEEP_B", "64"))
+N, H, HD = 257, 16, 64
 D = H * HD
 LAYERS = 24
 ITERS = 20
