@@ -32,7 +32,11 @@ PEAK = 201.5e12  # measured sustained bf16 (docs/PERF.md)
 # measured step times, round-4 session (bench.py + knockout probes)
 MEASURED = {
     "eval_b64": dict(ms=67.16, B=64),     # 952.7 samples/s
-    "train_b64": dict(ms=242.5, B=64),    # 264.0 samples/s
+    "train_b64": dict(ms=242.5, B=64),    # 264.0 samples/s (flat, qkv)
+    # round-4 final bench config: 4x16 accum + save_attn_mlp_qkv_kern
+    # (279.22 samples/s, full bench run) — the kern policy saves the
+    # forward-kernel replay, so its executed FLOPs drop by 1x img attn
+    "train_b64_kern_accum4": dict(ms=229.2, B=64),
     "eval3_b16": dict(ms=212.6, B=16),    # 75.3 samples/s
     "train3_b8": dict(ms=382.3, B=8),     # 20.9 samples/s
 }
@@ -107,6 +111,14 @@ def main():
               {"matmul": 0, "attn": img["attn"] * 1.0})           # replay
     train = add(fwd, bwd)
     report("train b64", total(train), B, MEASURED["train_b64"]["ms"])
+
+    # round-4 bench config (4x16 accum + save_attn_mlp_qkv_kern): the
+    # saved kernel outputs remove the forward-kernel replay term; the
+    # accumulation schedule itself changes no FLOPs
+    train_kern = add(fwd, scale({"matmul": img["matmul"], "attn": 0}, 1.0),
+                     {"matmul": 0, "attn": img["attn"] * 2.5})
+    report("train b64 kern+accum4", total(train_kern), B,
+           MEASURED["train_b64_kern_accum4"]["ms"])
 
     # ---- eval3/train3: video(tube3d+temporal) + audio + text ----
     B3e, B3t = 16, 8
