@@ -24,13 +24,17 @@ cannot elide or batch the steps.
 
 Workloads (LanguageBind-Large scale, bf16, random modality-dropout codes):
 - eval:  ViT-L/14 image tower + CLIP text tower + sum fusion, batch 64
-- train: same model, Adam, LoRA-frozen base, save_attn_mlp_qkv remat,
-  batch 64
+- train: same model, Adam, LoRA-frozen base, save_attn_mlp_qkv_kern
+  remat + 4x16 in-jit gradient accumulation, batch 64
 - eval3: video (8-frame + temporal attn) + audio (112x1036 mel) +
   language towers + sum fusion, batch 16
 - train3: the eval3 model's train step (Adam, LoRA-frozen bf16 bases,
   per-tower remat video=save_attn_mlp_qkv / audio=save_attn_mlp_kern),
   batch 8
+- duty (extra metrics, bounded child runs): AV input-pipeline duty
+  cycle on mixed-shape real media under the default and --uint8_upload
+  configs — the BASELINE.md >0.9 north star, machine-checked per round
+  (also dumped to DUTY_last.json).
 """
 from __future__ import annotations
 
@@ -89,6 +93,23 @@ def _eval_model(jnp, jax, towers, modality_types, B, data_extra):
     return cfg, params, data, labels, rng
 
 
+def _apply_chunk(towers, chunk):
+    """Per-tower chunk_instances override, e.g. (("video", 32),): run
+    that tower's fwd+bwd in 32-instance chunks (4 videos at 8 frames)
+    instead of one 64-instance program — the composed fwd+bwd stack
+    schedules best at 16-32 instances (scripts/bwd_chunk_probe.py)."""
+    if not chunk:
+        return towers
+    import dataclasses
+    cmap = dict(chunk)
+    return tuple(
+        (name, dataclasses.replace(
+            t, vision=dataclasses.replace(
+                t.vision, chunk_instances=cmap[name]))
+         if name in cmap else t)
+        for name, t in towers)
+
+
 def bench_eval(jnp, jax, iters=20, B=64):
     from missm_tpu.core.config import languagebind_large
     from missm_tpu.train.step import make_eval_step
@@ -119,7 +140,7 @@ def bench_eval(jnp, jax, iters=20, B=64):
 
 
 def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv_kern",
-                frozen_bf16=False, accum_steps=4):
+                frozen_bf16=False, accum_steps=4, chunk=()):
     """Bench config (round 4): save_attn_mlp_qkv_kern remat + 4x16
     in-jit gradient accumulation.
 
@@ -146,7 +167,7 @@ def bench_train(jnp, jax, iters=10, B=64, remat="save_attn_mlp_qkv_kern",
     from missm_tpu.models.fusion import FusionConfig
     from missm_tpu.train.step import init_train_state, make_train_step
 
-    towers = (("image", languagebind_large("image")),)
+    towers = _apply_chunk((("image", languagebind_large("image")),), chunk)
     fusion = FusionConfig(fusion_type="sum",
                           modality_types=("language", "image"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
@@ -187,7 +208,7 @@ def bench_train3(jnp, jax, iters=10, B=8,
                  remat=(("video", "save_attn_mlp_qkv"),
                         ("audio", "save_attn_mlp_kern"),
                         ("language", "save_attn_mlp")),
-                 accum_steps=1, frozen_bf16=True):
+                 accum_steps=1, frozen_bf16=True, chunk=()):
     """Video+audio+language TRAIN step — the reference's AVE/eNTERFACE
     training workload (train_ddp.py:215-259 over MMDataset_AVE). B=8 with
     per-tower remat is the measured-best config on one 16 GB chip: at
@@ -208,8 +229,9 @@ def bench_train3(jnp, jax, iters=10, B=8,
     from missm_tpu.models.fusion import FusionConfig
     from missm_tpu.train.step import init_train_state, make_train_step
 
-    towers = (("video", languagebind_large("video")),
-              ("audio", languagebind_large("audio")))
+    towers = _apply_chunk(
+        (("video", languagebind_large("video")),
+         ("audio", languagebind_large("audio"))), chunk)
     fusion = FusionConfig(fusion_type="sum",
                           modality_types=("language", "video", "audio"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
@@ -279,6 +301,98 @@ def bench_eval3(jnp, jax, iters=20, B=16):
     return B * iters / dt
 
 
+DUTY_TREE = "/tmp/bench_duty_tree"
+DUTY_N_TRAIN, DUTY_BATCH = 128, 16
+
+
+def _duty_child(mode: str) -> None:
+    """Child-process body for the duty-cycle measurement (run via
+    `python bench.py --duty-child default|uint8`): a 2-epoch AV train
+    run on a small mixed-shape real-media tree through the production
+    CLI; prints one JSON line with the epoch records. Epoch 0 includes
+    jit compile; epoch 1's duty is the steady-state number
+    (n_batches * calibrated_device_step / epoch_wall — train/loop.py's
+    meter). The BASELINE.md north star is duty > 0.9 under the
+    recommended --uint8_upload pipeline (docs/MIGRATION.md)."""
+    import os
+    import sys
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    sys.path.insert(0, os.path.join(repo, "tests"))  # avi_writer
+    import dutycycle_av_probe as dp
+
+    if not os.path.exists(os.path.join(DUTY_TREE, "label.csv")):
+        dp.build_tree(DUTY_N_TRAIN, n_valid=16, n_test=8, root=DUTY_TREE)
+
+    from missm_tpu.cli.train import main as train_main
+    argv = [
+        "--datasetName", "eNTERFACE",
+        "--csv_path", os.path.join(DUTY_TREE, "label.csv"),
+        "--modality_types", "video", "audio",
+        "--fusion_type", "sum", "--model_scale", "large",
+        "--init", "random", "--hash_tokenizer",
+        "--batch_size", str(DUTY_BATCH), "--num_epochs", "2",
+        "--learning_rate", "1e-4", "--patience", "8",
+        "--save_path", "/tmp/bench_duty_ckpt",
+        "--log_dir", "/tmp/bench_duty_logs",
+    ]
+    if mode == "uint8":
+        argv += ["--uint8_upload", "true"]
+    _, hist = train_main(argv)
+    keep = ("epoch", "duty", "step_ms", "step_dev_s", "input_s", "step_s",
+            "n_batches", "wall_s")
+    print("DUTY_JSON:" + json.dumps(
+        [{k: e[k] for k in keep if k in e} for e in hist]))
+
+
+def bench_duty() -> dict:
+    """Measure the AV input-pipeline duty cycle under the default and
+    --uint8_upload configs, each in a bounded child process (a tunnel
+    stall during the host-decode-heavy run must not lose the round's
+    primary metrics). Returns {mode: epoch_records | None} and writes
+    DUTY_last.json next to this file."""
+    import os
+    import subprocess
+    import sys
+
+    from missm_tpu.ingest import native
+    if not native.available():
+        print("duty: native ingest not built, skipping", file=sys.stderr,
+              flush=True)
+        return {}
+
+    out = {}
+    for mode in ("default", "uint8"):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--duty-child", mode],
+                capture_output=True, text=True, timeout=1500)
+            rec = None
+            for ln in (r.stdout or "").splitlines():
+                if ln.startswith("DUTY_JSON:"):
+                    rec = json.loads(ln[len("DUTY_JSON:"):])
+            if rec is None:
+                print(f"duty[{mode}]: no record (rc={r.returncode}): "
+                      f"{(r.stdout + r.stderr)[-500:]}", file=sys.stderr,
+                      flush=True)
+            out[mode] = rec
+        except subprocess.TimeoutExpired:
+            print(f"duty[{mode}]: timed out", file=sys.stderr, flush=True)
+            out[mode] = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "DUTY_last.json")
+    with open(path, "w") as f:
+        json.dump({
+            "note": "AV train duty cycle per bench run (VERDICT r4 #4): "
+                    "2-epoch eNTERFACE-style run, mixed-shape real media "
+                    f"(n_train={DUTY_N_TRAIN}, batch={DUTY_BATCH}); "
+                    "epoch 1 = steady state. North star: uint8 duty > 0.9 "
+                    "(BASELINE.md).",
+            "configs": out}, f, indent=1)
+    return out
+
+
 def _retry(fn, tag, tries=3):
     """The tunneled TPU occasionally fails a readback with a transient
     FAILED_PRECONDITION (e.g. after an earlier interrupted execution left
@@ -344,6 +458,23 @@ def main():
     t3 = _retry(lambda: bench_train3(jnp, jax), "train3") / n
     print(f"train3: {t3:.2f}", file=sys.stderr, flush=True)
 
+    duty_metrics = []
+    try:
+        duty = bench_duty()
+    except Exception as e:  # never lose the primary metrics to the meter
+        print(f"duty: skipped after {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        duty = {}
+    for mode, rec in duty.items():
+        if rec and len(rec) > 1 and rec[-1].get("duty") is not None:
+            d = rec[-1]["duty"]
+            print(f"duty[{mode}]: {d:.3f}", file=sys.stderr, flush=True)
+            duty_metrics.append({
+                "metric": f"train_av_duty_cycle_{mode}",
+                "value": round(d, 3), "unit": "fraction",
+                # north star: >0.9 TPU duty (BASELINE.md / SURVEY §6)
+                "vs_baseline": round(d / 0.9, 3)})
+
     print(json.dumps({
         "metric": "eval_samples_per_sec_per_chip",
         "value": round(ev, 2),
@@ -359,9 +490,13 @@ def main():
             {"metric": "train3_video_audio_language_samples_per_sec_per_chip",
              "value": round(t3, 2), "unit": "samples/s/chip",
              "vs_baseline": round(t3 / A100_TRAIN_THREE_TOWER, 3)},
-        ],
+        ] + duty_metrics,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) > 2 and _sys.argv[1] == "--duty-child":
+        _duty_child(_sys.argv[2])
+    else:
+        main()

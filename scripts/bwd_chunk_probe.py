@@ -96,7 +96,7 @@ def bench_stack_bwd(n_inst):
     return best
 
 
-def bench_full_accum(accum):
+def bench_full_accum(accum, remat="save_attn_mlp_qkv"):
     import bench
     from missm_tpu.models.finetune import ModelConfig, init_model_params
     from missm_tpu.models.fusion import FusionConfig
@@ -108,7 +108,7 @@ def bench_full_accum(accum):
                           modality_types=("language", "image"),
                           output_dims=10, feature_dims=768, fusion_dim=256)
     mcfg = ModelConfig(towers=towers, fusion=fusion,
-                       compute_dtype="bfloat16", remat="save_attn_mlp_qkv")
+                       compute_dtype="bfloat16", remat=remat)
     params = init_model_params(jax.random.PRNGKey(0), mcfg)
     state, tx = init_train_state(params, mcfg)
     step = make_train_step(mcfg, tx, accum_steps=accum)
@@ -135,21 +135,29 @@ def bench_full_accum(accum):
 
     dt = bench._time_loop(loop, state, data, labels, missing, key)
     rate = B * ITERS / dt
-    print(f"train b{B} accum={accum}: {rate:6.1f} samples/s "
+    print(f"train b{B} accum={accum} remat={remat}: {rate:6.1f} samples/s "
           f"({dt / ITERS * 1e3:.1f} ms/step)", flush=True)
     return rate
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    rest = [int(a) for a in sys.argv[2:]]
+    # non-integer trailing args select the remat policy for `full` mode
+    # (default save_attn_mlp_qkv — the r4 sweep-era config; pass
+    # save_attn_mlp_qkv_kern to reproduce the final 279.3 bench config)
+    rest, remat = [], "save_attn_mlp_qkv"
+    for a in sys.argv[2:]:
+        if a.lstrip("-").isdigit():
+            rest.append(int(a))
+        else:
+            remat = a
     enable_compilation_cache()
     if which in ("stack", "all"):
         for n in (rest or (64, 32, 16, 96, 128)):
             bench_stack_bwd(n)
     if which in ("full", "all"):
         for accum in (rest or (1, 2, 4)):
-            bench_full_accum(accum)
+            bench_full_accum(accum, remat=remat)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ def _jpeg(img_hwc, quality=85):
     return buf.getvalue()
 
 
-def build_tree(n_train, n_valid=32, n_test=16, seed=0):
+def build_tree(n_train, n_valid=32, n_test=16, seed=0, root=ROOT):
     import pandas as pd
 
     from avi_writer import write_mjpeg_avi
@@ -50,7 +50,7 @@ def build_tree(n_train, n_valid=32, n_test=16, seed=0):
     modes = ["train"] * n_train + ["valid"] * n_valid + ["test"] * n_test
     for i in range(n):
         emo = EMOTIONS[rng.integers(0, 3)]
-        avi = f"{ROOT}/data/s{i}/{emo}/sen/a.avi"
+        avi = f"{root}/data/s{i}/{emo}/sen/a.avi"
         wav_path = avi.replace(".avi", ".wav").replace("/data/", "/wav/")
         os.makedirs(os.path.dirname(avi), exist_ok=True)
         os.makedirs(os.path.dirname(wav_path), exist_ok=True)
@@ -79,11 +79,11 @@ def build_tree(n_train, n_valid=32, n_test=16, seed=0):
         rows["avi_path"].append(avi)
         rows["annotation"].append(emo)
         rows["mode"].append(modes[i])
-    pd.DataFrame(rows).to_csv(os.path.join(ROOT, "label.csv"), index=False)
+    pd.DataFrame(rows).to_csv(os.path.join(root, "label.csv"), index=False)
     idx = generate_missing_index(
         {"train": n_train, "valid": n_valid, "test": n_test},
         ["video", "audio"])
-    save_missing_index(os.path.join(ROOT, "missing_index.pkl"), idx)
+    save_missing_index(os.path.join(root, "missing_index.pkl"), idx)
     print(f"tree: {n} samples, {len(RESOLUTIONS)} resolutions x "
           f"{len(N_FRAMES)} clip lengths, {len(WAV_SECONDS)} wav lengths",
           flush=True)

@@ -84,6 +84,41 @@ def test_1f1b_matches_dp_numerics():
     np.testing.assert_allclose(w_dp, w_pp, atol=1e-5, rtol=1e-4)
 
 
+def test_1f1b_composes_with_tp_and_remat():
+    """(data=2, model=2, pipe=2) under the 1F1B schedule: the
+    hand-scheduled custom-VJP reverse pipeline claims data/model stay
+    AUTO axes through the manual pipe region — the 3-axis composition
+    (Megatron-TP shardings riding through, jax.checkpoint inside the
+    pipeline body) is where that claim is most likely to break. Loss
+    must match the pure-DP step. Mirrors
+    test_pipeline.test_pipeline_composes_with_tp_and_remat."""
+    cfg = model_cfg("concat", remat="save_attn")
+    base = init_model_params(jax.random.PRNGKey(0), cfg)
+    data, labels, missing = batch()
+
+    mesh_dp = make_mesh()  # 8 x 1
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh_dp)
+    state, tx = init_train_state(params, cfg)
+    step = make_train_step(cfg, tx)
+    state, m_dp = step(state, shard_batch(data, mesh_dp), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=2, n_model=2, n_pipe=2)
+    c = _pipe_cfg(cfg, mesh, n_pipe=2)
+    params = partition_params(
+        jax.tree_util.tree_map(lambda x: x + 0.0, base), mesh,
+        tp=True, pipe=True)
+    w = params["encoder"]["image"]["vision"]["blocks"]["mlp"]["fc1"]["w"]
+    assert w.sharding.spec[0] == "pipe" and "model" in str(w.sharding.spec)
+    state, tx = init_train_state(params, c)
+    step = make_train_step(c, tx)
+    state, m_pp = step(state, shard_batch(data, mesh), labels, missing,
+                       1e-2, jax.random.PRNGKey(0))
+    assert float(m_dp["loss"]) == pytest.approx(float(m_pp["loss"]),
+                                                rel=1e-5)
+
+
 def test_1f1b_matches_gpipe_grads():
     """Same pipelined model, gpipe vs 1f1b: per-leaf gradients agree —
     the two schedules are the same math, different residual policy.

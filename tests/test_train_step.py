@@ -430,10 +430,13 @@ def test_all_remat_policies_same_math():
                                        rtol=1e-5, err_msg=str(remat))
 
 
-def test_grad_accum_matches_manual_microbatching():
-    """accum_steps=2 must equal manually averaging the two half-batch
+@pytest.mark.parametrize("A", [2, 4])
+def test_grad_accum_matches_manual_microbatching(A):
+    """accum_steps=A must equal manually averaging the A microbatch
     gradients (same per-microbatch rng split) and applying one Adam
-    update — the scan accumulates, it does not change the math.
+    update — the scan accumulates, it does not change the math. A=4 is
+    the shipped bench_train default (the 4x16 schedule), so the actual
+    bench config is covered, not extrapolated from A=2.
 
     (The manual reference runs FIRST: the jitted step donates the state
     buffers, after which the shared param arrays are deleted.)"""
@@ -447,17 +450,17 @@ def test_grad_accum_matches_manual_microbatching():
     data, labels, missing = tiny_batch()
     rng = jax.random.PRNGKey(7)
 
-    # manual reference: two half-batch grads, averaged, one Adam update
+    # manual reference: A microbatch grads, averaged, one Adam update
     treedef, trainable, frozen = partition_trainable(params, cfg)
 
     def loss_fn(tr, d, lb, mi, r):
         return compute_loss(combine_params(treedef, tr, frozen), None, cfg,
                             d, lb, mi, r)[0]
 
-    h = B // 2
-    rngs = jax.random.split(rng, 2)
+    h = B // A
+    rngs = jax.random.split(rng, A)
     grads, losses = None, []
-    for i in range(2):
+    for i in range(A):
         sl = slice(i * h, (i + 1) * h)
         d = {k: v[sl] for k, v in data.items()}
         g = jax.grad(loss_fn)(trainable, d, labels[sl], missing[sl], rngs[i])
@@ -465,7 +468,7 @@ def test_grad_accum_matches_manual_microbatching():
                                     rngs[i])))
         grads = g if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, g)
-    grads = jax.tree_util.tree_map(lambda x: x / 2, grads)
+    grads = jax.tree_util.tree_map(lambda x: x / A, grads)
 
     state0, tx0 = init_train_state(params, cfg)
     updates, _ = tx0.update(grads, state0.opt_state, trainable)
@@ -476,7 +479,7 @@ def test_grad_accum_matches_manual_microbatching():
                                  frozen))
 
     # accumulated step (donates state0's buffers)
-    step = make_train_step(cfg, tx0, accum_steps=2)
+    step = make_train_step(cfg, tx0, accum_steps=A)
     state_a, m = step(state0, data, labels, missing, 1e-2, rng)
 
     assert float(m["loss"]) == pytest.approx(np.mean(losses), rel=1e-6)
