@@ -329,7 +329,10 @@ def _duty_child(mode: str) -> None:
         "--datasetName", "eNTERFACE",
         "--csv_path", os.path.join(DUTY_TREE, "label.csv"),
         "--modality_types", "video", "audio",
-        "--fusion_type", "sum", "--model_scale", "large",
+        # MISSM_DUTY_SCALE=tiny lets the wiring smoke-test on CPU;
+        # the real metric always runs at large
+        "--fusion_type", "sum", "--model_scale",
+        os.environ.get("MISSM_DUTY_SCALE", "large"),
         "--init", "random", "--hash_tokenizer",
         "--batch_size", str(DUTY_BATCH), "--num_epochs", "2",
         "--learning_rate", "1e-4", "--patience", "8",

@@ -21,7 +21,11 @@ matches ops.basic.quick_gelu's forward exactly.
 
 Grid: (M/bm token blocks, FF/bf feature blocks), feature-minor; a f32
 [bm, D] accumulator lives in VMEM scratch across the feature steps and
-is flushed to the output block once per token block. The second matmul
+is flushed to the output block once per token block. Defaults bm=256
+bf=512: Pallas double-buffers every I/O block, so the VMEM bill is
+2*(dy .5 + wide .25 + w1 1 + w2 1 + out .5) + acc 1 = ~7.5 MB — the
+first attempt (512, 1024) billed 17.93 MB and was rejected by the
+16 MB scoped-vmem limit. The second matmul
 feeds the MXU bf16 operands (dwide rounded once, exactly like the XLA
 path's bf16 materialization of dwide).
 
@@ -66,7 +70,7 @@ def _kernel(dy_ref, wide_ref, w1_ref, w2_ref, o_ref, acc_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bf", "interpret"))
-def mlp_bwd_dx(dy, wide, w1, w2, *, bm: int = 512, bf: int = 1024,
+def mlp_bwd_dx(dy, wide, w1, w2, *, bm: int = 256, bf: int = 512,
                interpret: bool = False):
     """dh for the quick_gelu MLP chain, fused.
 

@@ -102,9 +102,13 @@ def main():
     if which in ("parity", "all"):
         parity()
     if which in ("ab", "all"):
-        bench_chain(vjp_dx, "vjp-autodiff dx chain")
+        # xla hand chain first (its jaxpr is what autodiff emits for this
+        # chain — vjp_dx available separately via `vjp` mode; skipped by
+        # default to save a tunnel compile, ~10-30 min each this session)
         bench_chain(mlp_bwd_dx_xla, "xla hand chain    ")
         bench_chain(mlp_bwd_dx, "pallas fused      ")
+    if which == "vjp":
+        bench_chain(vjp_dx, "vjp-autodiff dx chain")
     if which == "sweep":
         for bm in (256, 512, 1024):
             for bf in (512, 1024, 2048):
