@@ -370,7 +370,7 @@ def bench_duty() -> dict:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--duty-child", mode],
-                capture_output=True, text=True, timeout=1500)
+                capture_output=True, text=True, timeout=3000)
             rec = None
             for ln in (r.stdout or "").splitlines():
                 if ln.startswith("DUTY_JSON:"):
