@@ -301,8 +301,10 @@ def bench_eval3(jnp, jax, iters=20, B=16):
     return B * iters / dt
 
 
-DUTY_TREE = "/tmp/bench_duty_tree"
-DUTY_N_TRAIN, DUTY_BATCH = 128, 16
+DUTY_N_TRAIN, DUTY_BATCH = 256, 16
+# tree path keyed by size: changing DUTY_N_TRAIN must not reuse a
+# stale smaller tree
+DUTY_TREE = f"/tmp/bench_duty_tree_{DUTY_N_TRAIN}"
 
 
 def _duty_child(mode: str) -> None:
