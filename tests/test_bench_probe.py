@@ -48,3 +48,55 @@ def test_probe_gives_up_with_clear_error(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     with pytest.raises(RuntimeError, match="unavailable after 3 probe"):
         bench._await_backend(max_tries=3, delay=0, probe_timeout=5)
+
+
+def test_duty_children_never_raise(monkeypatch, tmp_path):
+    """bench_duty (round 5): a crashing, garbage-printing, or hanging
+    duty child must degrade to {mode: None} — the duty meter can never
+    cost the round its primary metrics. DUTY_last.json is still written
+    with whatever survived."""
+    import json
+    import os
+
+    bench = _load_bench()
+    monkeypatch.setattr(
+        "missm_tpu.ingest.native.available", lambda: True)
+    # redirect the artifact next to tmp_path by faking __file__'s dir
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path)) if False else None
+
+    class R:
+        def __init__(self, out, rc=0):
+            self.stdout, self.stderr, self.returncode = out, "", rc
+
+    behaviors = {
+        "default": R("DUTY_JSON:" + json.dumps(
+            [{"epoch": 0, "duty": 0.1}, {"epoch": 1, "duty": 0.87}])),
+        "uint8": None,  # raises TimeoutExpired
+    }
+
+    def fake_run(cmd, capture_output, text, timeout):
+        mode = cmd[-1]
+        b = behaviors[mode]
+        if b is None:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        return b
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.chdir(tmp_path)  # keep any relative writes inside tmp
+
+    out = bench.bench_duty()
+    assert out["default"][-1]["duty"] == 0.87
+    assert out["uint8"] is None
+    # artifact written next to bench.py regardless
+    duty_path = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)), "DUTY_last.json")
+    with open(duty_path) as f:
+        d = json.load(f)
+    assert d["configs"]["uint8"] is None
+
+    # a child that prints garbage (no DUTY_JSON line) also degrades
+    behaviors["default"] = R("something went wrong", rc=1)
+    behaviors["uint8"] = R("not json at all")
+    out = bench.bench_duty()
+    assert out == {"default": None, "uint8": None}
